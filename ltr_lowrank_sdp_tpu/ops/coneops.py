@@ -1,0 +1,321 @@
+"""TPU-native conic operators.
+
+The two hot operations of a Burer-Monteiro low-rank SDP solver are
+
+* ``A(sym(UV^T))`` — constraint values: for every constraint matrix A_i,
+  the inner product <A_i, (UV^T + VU^T)/2>;
+* ``(c0·C + A*(w))·Y`` — apply the weighted coefficient sum to a factor.
+
+The reference implements them per-coefficient through a vtable
+(``lorads_sdp_data.c:750-1049``: ``mul_inner_rk_double`` / ``mul_rk`` /
+``sdpDataWSum``) with BLAS calls per constraint.  Here they are re-designed as
+*whole-cone* vectorized kernels over stacked COO triplets:
+
+* constraint values  = gather factor rows -> fused multiply -> segment-sum
+  over the (pre-sorted) constraint ids;
+* adjoint application = per-entry weights -> two scatter-adds (rows / cols)
+  with pre-sorted segment ids, or a dense n x n materialization followed by
+  an MXU matmul when the union pattern is dense (mirroring the reference
+  presolve decision, ``lorads_sdp_conic.c:1185-1392``).
+
+A ``diag`` fast path covers MaxCut-family cones (every constraint a single
+diagonal entry, cf. ``detectMaxCutProb``, ``lorads_solver.c:472-497``) where
+both ops collapse to row-norm reductions and a diagonal scale - no gathers at
+all.
+
+All index arrays are device-resident and sorted at build time so XLA can use
+`indices_are_sorted` segment reductions.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..problem import ConeData, LPConeData, SDPProblem
+
+
+def _segsum(vals, ids, num, sorted_ids=True):
+    return jax.ops.segment_sum(
+        vals, ids, num_segments=num, indices_are_sorted=sorted_ids
+    )
+
+
+class _SparseSym:
+    """A stack of symmetric sparse matrices sharing one COO layout.
+
+    Entries are the upper triangle (row <= col); symmetric completion is
+    implicit.  Supports <.,sym(UV^T)> contraction and weighted S@Y where
+    S = sum_i w_i A_i.
+    """
+
+    def __init__(self, rows, cols, vals, cid, n, num_seg, dtype):
+        self.n = n
+        self.num_seg = num_seg
+        self.nnz = int(rows.size)
+        self.rows = jnp.asarray(rows, jnp.int32)
+        self.cols = jnp.asarray(cols, jnp.int32)
+        self.vals = jnp.asarray(vals, dtype)
+        self.cid = jnp.asarray(cid, jnp.int32) if cid is not None else None
+        off = rows != cols
+        # off-diagonal entries count twice in <A, X> for symmetric X
+        self.double_coef = jnp.asarray(np.where(off, 2.0 * vals, vals), dtype)
+        self.off_mask = jnp.asarray(off.astype(np.float64), dtype)
+        # scatter permutations sorted by target index for sorted segment sums
+        pr = np.argsort(rows, kind="stable")
+        pc = np.argsort(cols, kind="stable")
+        self.perm_r = jnp.asarray(pr, jnp.int32)
+        self.perm_c = jnp.asarray(pc, jnp.int32)
+        self.rows_sorted = jnp.asarray(rows[pr], jnp.int32)
+        self.cols_sorted = jnp.asarray(cols[pc], jnp.int32)
+        self.cols_by_r = jnp.asarray(cols[pr], jnp.int32)
+        self.rows_by_c = jnp.asarray(rows[pc], jnp.int32)
+
+    def contract(self, U, V):
+        """Per-entry e = <sym(UV^T)>[row, col] * val * (2 if offdiag else 1).
+
+        Returns the (nnz,) vector of contributions (segment-sum separately).
+        """
+        ur = U[self.rows]
+        vc = V[self.cols]
+        uc = U[self.cols]
+        vr = V[self.rows]
+        e = 0.5 * (jnp.sum(ur * vc, axis=-1) + jnp.sum(uc * vr, axis=-1))
+        return self.double_coef * e
+
+    def apply_weighted(self, w_entry, Y):
+        """S @ Y with S = sum of symmetric entries weighted by w_entry.
+
+        w_entry is the (nnz,) per-entry weight val_i * w[cid_i] (already
+        including the matrix value).
+        """
+        n = self.n
+        wr = w_entry[self.perm_r]
+        out = _segsum(wr[:, None] * Y[self.cols_by_r], self.rows_sorted, n)
+        wc = (w_entry * self.off_mask)[self.perm_c]
+        out = out + _segsum(wc[:, None] * Y[self.rows_by_c], self.cols_sorted, n)
+        return out
+
+
+class ConeOps:
+    """Device-resident operator bundle for one SDP cone."""
+
+    def __init__(self, cone: ConeData, dtype=jnp.float64):
+        self.n = cone.n
+        self.m = cone.m
+        self.dtype = dtype
+        self.kind_a = cone.kind_a
+        self.kind_c = cone.kind_c
+        self.n_active = cone.n_active
+        self.rank_max = cone.rank_max
+        n = cone.n
+
+        # ---- objective C ----
+        self.c_sparse = _SparseSym(
+            cone.c_rows, cone.c_cols, cone.c_vals, None, n, n, dtype
+        )
+        self.c_dense = None
+        if cone.kind_c == "dense":
+            C = np.zeros((n, n))
+            np.add.at(C, (cone.c_rows, cone.c_cols), cone.c_vals)
+            off = cone.c_rows != cone.c_cols
+            np.add.at(C, (cone.c_cols[off], cone.c_rows[off]), cone.c_vals[off])
+            self.c_dense = jnp.asarray(C, dtype)
+
+        # ---- constraints ----
+        self.a_sparse = None
+        self.diag_idx = self.diag_val = self.diag_cid = None
+        if cone.kind_a == "diag":
+            self.diag_idx = jnp.asarray(cone.diag_idx, jnp.int32)
+            self.diag_val = jnp.asarray(cone.diag_val, dtype)
+            self.diag_cid = jnp.asarray(cone.diag_cid, jnp.int32)
+        else:
+            self.a_sparse = _SparseSym(
+                cone.a_rows, cone.a_cols, cone.a_vals, cone.a_cid,
+                n, cone.m, dtype,
+            )
+            self.a_cid = jnp.asarray(cone.a_cid, jnp.int32)
+
+    # ------------------------------------------------------------------ #
+
+    def constr_vals(self, U, V):
+        """A(sym(UV^T)) as a global (m,) vector (zeros off-cone)."""
+        if self.kind_a == "diag":
+            e = jnp.sum(U[self.diag_idx] * V[self.diag_idx], axis=-1)
+            out = jnp.zeros(self.m, self.dtype).at[self.diag_cid].add(
+                self.diag_val * e
+            )
+            return out
+        contrib = self.a_sparse.contract(U, V)
+        return _segsum(contrib, self.a_cid, self.m)
+
+    def obj_value(self, U, V):
+        """<C, sym(UV^T)>."""
+        if self.c_dense is not None:
+            # C symmetric => tr(C sym(UV^T)) = vdot(U, C @ V) averaged with
+            # its transpose-pair; both are equal for symmetric C.
+            CV = jnp.dot(self.c_dense, V, preferred_element_type=self.dtype)
+            return 0.5 * (jnp.vdot(U, CV) + jnp.vdot(V, jnp.dot(
+                self.c_dense, U, preferred_element_type=self.dtype)))
+        return jnp.sum(self.c_sparse.contract(U, V))
+
+    def apply_w(self, w, Y, obj_coef=1.0):
+        """(obj_coef*C + A*(w)) @ Y  — the ``mul_rk`` hot kernel."""
+        out = jnp.zeros_like(Y)
+        if self.kind_a == "dense" or (
+            self.kind_c == "dense" and self.kind_a != "diag"
+        ):
+            n = self.n
+            S = jnp.zeros((n, n), self.dtype)
+            if self.a_sparse is not None and self.a_sparse.nnz:
+                sp = self.a_sparse
+                wv = sp.vals * w[self.cid_for_entries()]
+                S = S.at[sp.rows, sp.cols].add(wv)
+                off = sp.rows != sp.cols
+                S = S.at[sp.cols, sp.rows].add(jnp.where(off, wv, 0.0))
+            if obj_coef != 0.0:
+                if self.c_dense is not None:
+                    S = S + obj_coef * self.c_dense
+                elif self.c_sparse.nnz:
+                    cs = self.c_sparse
+                    S = S.at[cs.rows, cs.cols].add(obj_coef * cs.vals)
+                    offc = cs.rows != cs.cols
+                    S = S.at[cs.cols, cs.rows].add(
+                        jnp.where(offc, obj_coef * cs.vals, 0.0)
+                    )
+            return jnp.dot(S, Y, preferred_element_type=self.dtype)
+
+        # sparse / diag paths
+        if self.kind_a == "diag":
+            d = jnp.zeros(self.n, self.dtype).at[self.diag_idx].add(
+                self.diag_val * w[self.diag_cid]
+            )
+            out = d[:, None] * Y
+        elif self.a_sparse is not None and self.a_sparse.nnz:
+            wv = self.a_sparse.vals * w[self.a_cid]
+            out = self.a_sparse.apply_weighted(wv, Y)
+        if obj_coef != 0.0:
+            if self.c_dense is not None:
+                out = out + obj_coef * jnp.dot(
+                    self.c_dense, Y, preferred_element_type=self.dtype
+                )
+            elif self.c_sparse.nnz:
+                cw = obj_coef * self.c_sparse.vals
+                out = out + self.c_sparse.apply_weighted(cw, Y)
+        return out
+
+    def cid_for_entries(self):
+        return self.a_cid
+
+    # flops of one constr_vals evaluation (for speed-of-light accounting)
+    def constr_flops(self, rank: int) -> int:
+        if self.kind_a == "diag":
+            return 2 * self.n_active * rank
+        return 6 * self.a_sparse.nnz * rank
+
+    def apply_flops(self, rank: int) -> int:
+        if self.kind_a == "dense" or self.kind_c == "dense":
+            return 2 * self.n * self.n * rank
+        nnz_a = 0 if self.a_sparse is None else self.a_sparse.nnz
+        return 4 * (nnz_a + self.c_sparse.nnz) * rank + 2 * self.n * rank
+
+
+class LPOps:
+    """LP cone operators: x_j = u_j v_j over nonnegative columns."""
+
+    def __init__(self, lp: LPConeData, dtype=jnp.float64):
+        self.n_cols = lp.n_cols
+        self.m = lp.m
+        self.dtype = dtype
+        self.c = jnp.asarray(lp.c, dtype)
+        self.col = jnp.asarray(lp.col, jnp.int32)
+        self.cid = jnp.asarray(lp.cid, jnp.int32)
+        self.vals = jnp.asarray(lp.vals, dtype)
+        self.nrm2sq = jnp.asarray(lp.nrm2sq, dtype)
+
+    def constr_vals(self, u, v):
+        """A_lp(diag(u v)) as a global (m,) vector."""
+        x = u * v
+        return jnp.zeros(self.m, self.dtype).at[self.cid].add(
+            self.vals * x[self.col]
+        )
+
+    def obj_value(self, u, v):
+        return jnp.vdot(self.c, u * v)
+
+    def weighted_col_sums(self, w):
+        """Per-column (c_j + sum_i w_i A_ij) — the LP analog of C + A*(w)."""
+        out = self.c + jnp.zeros(self.n_cols, self.dtype).at[self.col].add(
+            self.vals * w[self.cid]
+        )
+        return out
+
+
+def build_cone_ops(prob: SDPProblem, dtype=jnp.float64):
+    cones = [ConeOps(c, dtype) for c in prob.cones]
+    lp = LPOps(prob.lp, dtype) if prob.lp is not None else None
+    return cones, lp
+
+
+# --------------------------------------------------------------------------- #
+# Whole-problem helpers (used by both solver phases)
+# --------------------------------------------------------------------------- #
+
+
+def all_constr_vals(cones: List[ConeOps], lp: Optional[LPOps], U, V, ulp=None,
+                    vlp=None):
+    """Sum of per-cone A(sym(U_k V_k^T)) (+ LP part) -> (m,)."""
+    m = cones[0].m if cones else lp.m
+    dtype = cones[0].dtype if cones else lp.dtype
+    out = jnp.zeros(m, dtype)
+    for ops, u, v in zip(cones, U, V):
+        out = out + ops.constr_vals(u, v)
+    if lp is not None and ulp is not None:
+        out = out + lp.constr_vals(ulp, vlp)
+    return out
+
+
+def all_obj_value(cones: List[ConeOps], lp: Optional[LPOps], U, V, ulp=None,
+                  vlp=None):
+    total = jnp.asarray(0.0, cones[0].dtype if cones else lp.dtype)
+    for ops, u, v in zip(cones, U, V):
+        total = total + ops.obj_value(u, v)
+    if lp is not None and ulp is not None:
+        total = total + lp.obj_value(ulp, vlp)
+    return total
+
+
+def all_obj_and_constr(cones, lp, U, V, ulp=None, vlp=None):
+    return (
+        all_obj_value(cones, lp, U, V, ulp, vlp),
+        all_constr_vals(cones, lp, U, V, ulp, vlp),
+    )
+
+
+# --------------------------------------------------------------------------- #
+# Dense reference implementations (tests / tiny problems only)
+# --------------------------------------------------------------------------- #
+
+
+def dense_constraint_matrices(cone: ConeData) -> np.ndarray:
+    """(m, n, n) dense symmetric stack — for unit tests only."""
+    A = np.zeros((cone.m, cone.n, cone.n))
+    np.add.at(A, (cone.a_cid, cone.a_rows, cone.a_cols), cone.a_vals)
+    off = cone.a_rows != cone.a_cols
+    np.add.at(
+        A, (cone.a_cid[off], cone.a_cols[off], cone.a_rows[off]),
+        cone.a_vals[off],
+    )
+    return A
+
+
+def dense_objective_matrix(cone: ConeData) -> np.ndarray:
+    C = np.zeros((cone.n, cone.n))
+    np.add.at(C, (cone.c_rows, cone.c_cols), cone.c_vals)
+    off = cone.c_rows != cone.c_cols
+    np.add.at(C, (cone.c_cols[off], cone.c_rows[off]), cone.c_vals[off])
+    return C
