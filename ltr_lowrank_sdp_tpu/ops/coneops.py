@@ -163,8 +163,17 @@ class ConeOps:
                 self.c_dense, U, preferred_element_type=self.dtype)))
         return jnp.sum(self.c_sparse.contract(U, V))
 
-    def apply_w(self, w, Y, obj_coef=1.0):
-        """(obj_coef*C + A*(w)) @ Y  — the ``mul_rk`` hot kernel."""
+    def apply_w(self, w, Y, obj_coef=1.0, include_obj=None):
+        """(obj_coef*C + A*(w)) @ Y  — the ``mul_rk`` hot kernel.
+
+        ``include_obj`` is the *static* switch (whether C participates at
+        all); ``obj_coef`` may be a traced scalar (objective rescaling
+        during reopt, cf. ``objScale_dualvar``, ``lorads_solver.c:1437-1452``).
+        When ``include_obj`` is None it is inferred from a literal
+        ``obj_coef == 0.0``.
+        """
+        if include_obj is None:
+            include_obj = not (isinstance(obj_coef, float) and obj_coef == 0.0)
         out = jnp.zeros_like(Y)
         if self.kind_a == "dense" or (
             self.kind_c == "dense" and self.kind_a != "diag"
@@ -177,7 +186,7 @@ class ConeOps:
                 S = S.at[sp.rows, sp.cols].add(wv)
                 off = sp.rows != sp.cols
                 S = S.at[sp.cols, sp.rows].add(jnp.where(off, wv, 0.0))
-            if obj_coef != 0.0:
+            if include_obj:
                 if self.c_dense is not None:
                     S = S + obj_coef * self.c_dense
                 elif self.c_sparse.nnz:
@@ -198,7 +207,7 @@ class ConeOps:
         elif self.a_sparse is not None and self.a_sparse.nnz:
             wv = self.a_sparse.vals * w[self.a_cid]
             out = self.a_sparse.apply_weighted(wv, Y)
-        if obj_coef != 0.0:
+        if include_obj:
             if self.c_dense is not None:
                 out = out + obj_coef * jnp.dot(
                     self.c_dense, Y, preferred_element_type=self.dtype
@@ -247,11 +256,12 @@ class LPOps:
     def obj_value(self, u, v):
         return jnp.vdot(self.c, u * v)
 
-    def weighted_col_sums(self, w):
-        """Per-column (c_j + sum_i w_i A_ij) — the LP analog of C + A*(w)."""
-        out = self.c + jnp.zeros(self.n_cols, self.dtype).at[self.col].add(
-            self.vals * w[self.cid]
-        )
+    def weighted_col_sums(self, w, obj_coef=1.0):
+        """Per-column (obj_coef*c_j + sum_i w_i A_ij) — the LP analog of
+        C + A*(w)."""
+        out = obj_coef * self.c + jnp.zeros(
+            self.n_cols, self.dtype
+        ).at[self.col].add(self.vals * w[self.cid])
         return out
 
 

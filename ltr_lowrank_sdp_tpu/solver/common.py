@@ -1,0 +1,143 @@
+"""Shared solver machinery: factor pytrees, gradients, DIMACS metrics.
+
+The solver variables are tuples of per-cone (n_k, r_k) factor matrices plus
+an optional LP factor vector.  Everything here is shape-static for a given
+rank signature; rank escalation rebuilds the jitted functions (one compiled
+executable per rank bucket — the TPU answer to the reference's realloc-based
+``AUG_RANK``, ``lorads_solver.c:1154-1254``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.coneops import ConeOps, LPOps, all_constr_vals, all_obj_value
+from ..problem import SDPProblem
+
+Factors = Tuple[jnp.ndarray, ...]
+
+
+@dataclasses.dataclass(frozen=True)
+class ProblemConsts:
+    """Static problem constants captured by the jitted solver steps."""
+
+    m: int
+    b_nrm1: float
+    b_nrm2: float
+    b_nrminf: float
+    c_nrm1: float
+    c_nrm2: float
+    c_nrminf: float
+
+    @staticmethod
+    def from_problem(prob: SDPProblem) -> "ProblemConsts":
+        return ProblemConsts(
+            m=prob.m,
+            b_nrm1=prob.b_nrm1, b_nrm2=prob.b_nrm2, b_nrminf=prob.b_nrminf,
+            c_nrm1=prob.c_nrm1, c_nrm2=prob.c_nrm2, c_nrminf=prob.c_nrminf,
+        )
+
+
+def flatten_factors(R: Factors, rlp=None) -> jnp.ndarray:
+    parts = [r.ravel() for r in R]
+    if rlp is not None:
+        parts.append(rlp.ravel())
+    return jnp.concatenate(parts) if len(parts) > 1 else parts[0]
+
+
+def unflatten_factors(flat: jnp.ndarray, shapes, has_lp: bool):
+    out = []
+    idx = 0
+    for shp in shapes:
+        size = int(np.prod(shp))
+        out.append(flat[idx: idx + size].reshape(shp))
+        idx += size
+    rlp = None
+    if has_lp:
+        rlp = flat[idx:]
+    return tuple(out), rlp
+
+
+def init_factors(
+    ranks: Sequence[int],
+    dims: Sequence[int],
+    n_lp: int,
+    key,
+    dtype=jnp.float64,
+):
+    """Uniform(-1, 1)-ish random init (difference of two uniforms, matching
+    the distribution of ``LORADS_RANDOM_rk_MAT``, ``lorads_solver.c:527``)."""
+    keys = jax.random.split(key, len(ranks) + 1)
+    R = tuple(
+        jax.random.uniform(k, (n, r), dtype)
+        - jax.random.uniform(jax.random.fold_in(k, 1), (n, r), dtype)
+        for k, n, r in zip(keys[:-1], dims, ranks)
+    )
+    rlp = None
+    if n_lp > 0:
+        rlp = (
+            jax.random.uniform(keys[-1], (n_lp,), dtype)
+            - jax.random.uniform(jax.random.fold_in(keys[-1], 1), (n_lp,), dtype)
+        )
+    return R, rlp
+
+
+def pad_rank_columns(F: jnp.ndarray, new_rank: int) -> jnp.ndarray:
+    """Grow a factor to new_rank columns, padding with the scaled identity
+    1/sqrt(r) diagonal used by the reference escalation (``lpRandomDiag``,
+    ``lorads_solver.c:1096-1106``) so the new columns are an escape
+    perturbation rather than stationary zeros."""
+    n, old = F.shape
+    aug = new_rank - old
+    if aug <= 0:
+        return F
+    r = min(n, aug)
+    pad = jnp.zeros((n, aug), F.dtype)
+    pad = pad.at[jnp.arange(r), jnp.arange(r)].set(1.0 / np.sqrt(r))
+    return jnp.concatenate([F, pad], axis=1)
+
+
+# --------------------------------------------------------------------------- #
+# gradient / objective / DIMACS
+# --------------------------------------------------------------------------- #
+
+
+def alm_gradient(cones: List[ConeOps], lp: Optional[LPOps], R: Factors, rlp,
+                 dual, constr_sum, b, rho, obj_scale=1.0):
+    """grad of L_rho = 2 (obj_scale*C + A*(w)) R with
+    w = -lambda + rho (A(X) - b).
+
+    Reference ``ALMSetGrad`` (``lorads_alm.c:32-61``).  Returns
+    (grad_factors, grad_lp, ||grad||^2).
+    """
+    w = -dual + rho * (constr_sum - b)
+    grads = tuple(
+        2.0 * ops.apply_w(w, r, obj_coef=obj_scale, include_obj=True)
+        for ops, r in zip(cones, R)
+    )
+    norm_sq = sum(jnp.vdot(g, g) for g in grads)
+    grad_lp = None
+    if lp is not None and rlp is not None:
+        col = lp.weighted_col_sums(w, obj_coef=obj_scale)
+        grad_lp = 2.0 * col * rlp
+        norm_sq = norm_sq + jnp.vdot(grad_lp, grad_lp)
+    return grads, grad_lp, norm_sq
+
+
+def primal_infeas_l1(constr_sum, b, b_nrm1):
+    """||b - A(X)||_2 / (1 + ||b||_1) — the reference's 'L1' DIMACS error
+    (``primalInfeasibility``, ``lorads_alg_common.c:386-394``)."""
+    return jnp.linalg.norm(b - constr_sum) / (1.0 + b_nrm1)
+
+
+def pd_gap(pobj, dobj):
+    return jnp.abs(pobj - dobj) / (1.0 + jnp.abs(pobj) + jnp.abs(dobj))
+
+
+def dual_objective(b, dual, scale_obj):
+    return jnp.vdot(b, dual) / scale_obj
