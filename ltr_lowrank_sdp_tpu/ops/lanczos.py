@@ -62,37 +62,51 @@ def lanczos_min_eig(
 
     V, alphas, betas = jax.lax.fori_loop(0, k, body, (V, alphas, betas))
 
-    T = jnp.diag(alphas) + jnp.diag(betas[: k - 1], 1) + jnp.diag(betas[: k - 1], -1)
-    evals = jnp.linalg.eigvalsh(T)
-    return evals[0]
+    # the k x k tridiagonal eig is negligible -> host numpy (portable across
+    # TPU dtypes; avoids device eigh support issues in emulated f64)
+    import numpy as np
+
+    a = np.asarray(alphas, np.float64)
+    bta = np.asarray(betas, np.float64)
+    T = np.diag(a) + np.diag(bta[: k - 1], 1) + np.diag(bta[: k - 1], -1)
+    return float(np.linalg.eigvalsh(T)[0])
 
 
-def oracle_rank_gram(factor, eps: float = 1e-6):
+def oracle_rank_gram(factor, eps: float = 1e-6) -> int:
     """Numerical rank of X = F F^T via the r x r Gram matrix spectrum.
 
     Reference: ``count_significant_from_matrix`` /
     ``oracle_rank_from_factor`` (``lorads_logging.c:272-400``): count
-    eigenvalues > eps * lambda_max.
+    eigenvalues > eps * lambda_max.  The device computes the (tiny) Gram
+    matrix; its eigendecomposition runs on the host.
     """
-    G = factor.T @ factor
-    evals = jnp.linalg.eigvalsh(G)
+    import numpy as np
+
+    G = np.asarray(factor.T @ factor, np.float64)
+    evals = np.linalg.eigvalsh(G)
     lam_max = evals[-1]
-    cutoff = eps * lam_max
-    return jnp.where(lam_max > 0, jnp.sum(evals > cutoff), 0)
+    if lam_max <= 0:
+        return 0
+    return int(np.sum(evals > eps * lam_max))
 
 
-def oracle_rank_avg(U, V, eps: float = 1e-6):
+def oracle_rank_avg(U, V, eps: float = 1e-6) -> int:
     """Oracle rank of ((U+V)/2)((U+V)/2)^T (ADMM phase variant)."""
     return oracle_rank_gram(0.5 * (U + V), eps)
 
 
-def oracle_rank_naive(factor, eps: float = 1e-6, dim_cap: int = 2000):
+def oracle_rank_naive(factor, eps: float = 1e-6, dim_cap: int = 2000) -> int:
     """Full-matrix oracle rank; falls back to the Gram method for n > cap
     (reference ``lorads_logging.c:406-451``)."""
+    import numpy as np
+
     n = factor.shape[0]
     if n > dim_cap:
         return oracle_rank_gram(factor, eps)
-    X = factor @ factor.T
-    evals = jnp.linalg.eigvalsh(X)
+    X = np.asarray(factor, np.float64)
+    X = X @ X.T
+    evals = np.linalg.eigvalsh(X)
     lam_max = evals[-1]
-    return jnp.where(lam_max > 0, jnp.sum(evals > eps * lam_max), 0)
+    if lam_max <= 0:
+        return 0
+    return int(np.sum(evals > eps * lam_max))
