@@ -1,14 +1,16 @@
-"""Phase II: ADMM splitting on X = sym(UV^T) with per-cone CG updates.
+"""Phase II: ADMM splitting on X = sym(UV^T) — device-fused in chunks.
 
 Reference: ``LORADSADMMOptimize`` (``lorads_admm.c:84-209``) and the
 variable-update kernels (``LORADSUpdateSDPVarOne:564``,
 ``LORADSUpdateLPVarOne:759``, ``linSysProduct:471``).
 
-One ADMM iteration (a full Gauss-Seidel sweep over cones: U update by
-matrix-free CG, then V update, then LP columns, then metrics) compiles to a
-single XLA executable; the CG loops are ``lax.while_loop``s whose body is one
-fused conic operator application.  The host loop applies the rho schedule,
-divergence guards and stopping logic.
+A *chunk* of ADMM iterations (Gauss-Seidel cone sweep with matrix-free CG
+U/V updates, LP closed-form sweep, metrics, dual update, rho schedule with
+plateau escalation, divergence/early-exit logic) compiles into one XLA
+executable driven by a ``lax.while_loop``; the host dispatches once per
+chunk, reads back a small per-iteration stats buffer for trajectory
+logging, and enforces the wall-clock limit.  This removes the per-iteration
+host round-trips that dominate under a remote-TPU tunnel.
 
 Faithfulness notes:
 
@@ -16,21 +18,18 @@ Faithfulness notes:
   A_V(x) = A(sym(x V^T)); M1/M2/b_linsys match ``LORADSUpdateSDPVarOne``.
 * The reference's per-iteration DIMACS update *overwrites* the running
   constraint-value state with values of the averaged factor (U+V)/2
-  (``updateDimacsADMM`` -> ``primalInfeasibility`` ->
-  ``LORADSInitConstrValAll``); subsequent cone updates therefore see the
-  averaged bookkeeping.  We mirror that exactly — it is behavior-defining
-  for iteration counts.
-* LP columns use the closed-form update; we apply it as a vectorized Jacobi
-  sweep over columns (the reference sweeps sequentially; columns interact
-  only through shared constraints, and the averaged-bookkeeping overwrite
-  above makes the residual difference one inner iteration deep).  A
-  sequential ``lax.scan`` fallback can be added for pathological LP blocks.
+  (``updateDimacsADMM`` -> ``primalInfeasibility``); subsequent cone updates
+  see the averaged bookkeeping.  We mirror that exactly.
+* LP columns use the closed-form update as a vectorized Jacobi sweep (the
+  reference sweeps sequentially; columns only interact through shared
+  constraints and the averaged overwrite above).
 """
 
 from __future__ import annotations
 
 import dataclasses
 import time
+from functools import partial
 from typing import NamedTuple, Optional, Tuple
 
 import jax
@@ -41,6 +40,16 @@ from ..config import SolverParams
 from ..ops.cg import cg_solve
 from .common import ProblemConsts, primal_infeas_l1
 
+CODE_RUN = 0
+CODE_CONVERGED = 1
+CODE_PINF_OK = 2      # main mode: pinf_inf under tol -> return (gap decides)
+CODE_NUM_ERR = 3
+CODE_BAD_ITER = 4
+CODE_DONE = 5         # overall while-condition turned false
+CODE_CEILING = 6
+
+STAT_COLS = 7  # pobj dobj pinf_l1 pinf_inf gap rho cg_iters
+
 
 class ADMMCarry(NamedTuple):
     U: Tuple[jnp.ndarray, ...]
@@ -49,7 +58,7 @@ class ADMMCarry(NamedTuple):
     vlp: Optional[jnp.ndarray]
     dual: jnp.ndarray
     constr_val: Tuple[jnp.ndarray, ...]   # per-cone (m,) bookkeeping
-    constr_lp: Optional[jnp.ndarray]      # LP cone total contribution (m,)
+    constr_lp: Optional[jnp.ndarray]      # LP cone contribution (m,)
     constr_sum: jnp.ndarray
     obj_scale: jnp.ndarray
     pobj: jnp.ndarray
@@ -59,8 +68,16 @@ class ADMMCarry(NamedTuple):
     gap: jnp.ndarray
 
 
-class IterStats(NamedTuple):
-    cg_iters: jnp.ndarray
+class ADMMCtrl(NamedTuple):
+    it: jnp.ndarray            # global iteration counter
+    rho: jnp.ndarray
+    cur_rho_max: jnp.ndarray
+    old_mean: jnp.ndarray
+    buf: jnp.ndarray           # (10,) pinf_inf ring buffer
+    count: jnp.ndarray
+    bad_pd: jnp.ndarray
+    cg_total: jnp.ndarray
+    code: jnp.ndarray
 
 
 @dataclasses.dataclass
@@ -75,7 +92,8 @@ class ADMMInfo:
 
 class ADMMPhase:
     def __init__(self, cones, lp, b, consts: ProblemConsts,
-                 params: SolverParams, shapes, n_lp: int):
+                 params: SolverParams, shapes, n_lp: int,
+                 chunk_size: int = 25):
         self.cones = cones
         self.lp = lp
         self.b = b
@@ -84,20 +102,24 @@ class ADMMPhase:
         self.shapes = tuple(tuple(s) for s in shapes)
         self.n_lp = n_lp
         self.has_lp = n_lp > 0
+        self.chunk = chunk_size
 
-        self._iteration_j = jax.jit(self._iteration)
         self._metrics_j = jax.jit(self._metrics)
-        self._dual_update_j = jax.jit(self._dual_update)
+        self._chunk_cache = {}
+
+    def _chunk_j(self, mode: str, iter_ceiling: int):
+        key = (mode, iter_ceiling)
+        if key not in self._chunk_cache:
+            self._chunk_cache[key] = jax.jit(partial(
+                self._chunk_step, mode=mode, iter_ceiling=iter_ceiling))
+        return self._chunk_cache[key]
 
     # ------------------------------------------------------------------ #
 
-    def _cone_update(self, i, update_var, fixed_var, carry, rho, cg_tol,
-                     cg_max_iter):
-        """CG solve for one factor of one cone; returns (new_factor, iters)."""
+    def _cone_update(self, i, update_var, fixed_var, carry, rho, cg_tol):
+        """CG solve for one factor of one cone; returns (factor, iters)."""
         ops = self.cones[i]
-        # M1 = rho*(constr_sum - constr_val_i - b) - lambda
         M1 = rho * (carry.constr_sum - carry.constr_val[i] - self.b) - carry.dual
-        # M2 = (obj_scale*C + A*(M1)) V - rho V
         M2 = ops.apply_w(M1, fixed_var, obj_coef=carry.obj_scale,
                          include_obj=True) - rho * fixed_var
         b_lin = -M2 / rho
@@ -107,87 +129,73 @@ class ADMMPhase:
             return x + ops.apply_w(w, fixed_var, obj_coef=0.0,
                                    include_obj=False)
 
-        res = cg_solve(matvec, b_lin, update_var, cg_tol, cg_max_iter,
-                       self.params.cg_restart_freq)
+        res = cg_solve(matvec, b_lin, update_var, cg_tol,
+                       self.params.cg_max_iter, self.params.cg_restart_freq)
         return res.x, res.iters
 
     def _iteration(self, carry: ADMMCarry, rho, cg_tol):
         """One full ADMM iteration: cone sweep + LP sweep + metrics."""
-        p = self.params
-        cg_max = p.cg_max_iter
         cg_total = jnp.asarray(0, jnp.int32)
-
         U = list(carry.U)
         V = list(carry.V)
         constr_val = list(carry.constr_val)
         for i, ops in enumerate(self.cones):
-            # U update
-            u_new, it1 = self._cone_update(i, U[i], V[i], carry, rho, cg_tol,
-                                           cg_max)
+            u_new, it1 = self._cone_update(i, U[i], V[i], carry, rho, cg_tol)
             U[i] = u_new
             new_cv = ops.constr_vals(U[i], V[i])
             carry = carry._replace(
-                constr_sum=carry.constr_sum - constr_val[i] + new_cv
+                U=tuple(U),
+                constr_sum=carry.constr_sum - constr_val[i] + new_cv,
             )
             constr_val[i] = new_cv
-            carry = carry._replace(
-                U=tuple(U), constr_val=tuple(constr_val)
-            )
-            # V update
-            v_new, it2 = self._cone_update(i, V[i], U[i], carry, rho, cg_tol,
-                                           cg_max)
+            carry = carry._replace(constr_val=tuple(constr_val))
+
+            v_new, it2 = self._cone_update(i, V[i], U[i], carry, rho, cg_tol)
             V[i] = v_new
             new_cv = ops.constr_vals(U[i], V[i])
             carry = carry._replace(
-                constr_sum=carry.constr_sum - constr_val[i] + new_cv
+                V=tuple(V),
+                constr_sum=carry.constr_sum - constr_val[i] + new_cv,
             )
             constr_val[i] = new_cv
-            carry = carry._replace(V=tuple(V), constr_val=tuple(constr_val))
+            carry = carry._replace(constr_val=tuple(constr_val))
             cg_total = cg_total + it1 + it2
 
         if self.has_lp:
             carry = self._lp_sweep(carry, rho)
-
         carry = self._metrics(carry)
-        return carry, IterStats(cg_iters=cg_total)
+        return carry, cg_total
 
     def _lp_sweep(self, carry: ADMMCarry, rho):
-        """Vectorized closed-form LP column updates (u then v)."""
         lp = self.lp
 
         def one_side(x_upd, x_fix, carry):
-            # global weight vector with own-column contribution removed
-            # per column: M1_j = rho*(S - own_j - b) - lambda;
-            # lpW_j = obj_scale*c_j + <A_col_j, M1_j>
-            #       = obj_scale*c_j + <A_col_j, M1_glob> - rho*x_j*||A_col_j||^2
             M1g = rho * (carry.constr_sum - self.b) - carry.dual
             x_old = x_upd * x_fix
             base = lp.weighted_col_sums(M1g, obj_coef=carry.obj_scale)
             lpw = base - rho * x_old * lp.nrm2sq
             M2 = lpw * x_fix - rho * x_fix
-            b_lin = -M2 / rho
-            new = b_lin / (1.0 + lp.nrm2sq * x_fix * x_fix)
-            return new
+            return (-M2 / rho) / (1.0 + lp.nrm2sq * x_fix * x_fix)
 
         ulp = one_side(carry.ulp, carry.vlp, carry)
-        new_lpvals = lp.constr_vals(ulp, carry.vlp)
+        new_lp = lp.constr_vals(ulp, carry.vlp)
         carry = carry._replace(
             ulp=ulp,
-            constr_sum=carry.constr_sum - carry.constr_lp + new_lpvals,
-            constr_lp=new_lpvals,
+            constr_sum=carry.constr_sum - carry.constr_lp + new_lp,
+            constr_lp=new_lp,
         )
         vlp = one_side(carry.vlp, carry.ulp, carry)
-        new_lpvals = lp.constr_vals(carry.ulp, vlp)
+        new_lp = lp.constr_vals(carry.ulp, vlp)
         carry = carry._replace(
             vlp=vlp,
-            constr_sum=carry.constr_sum - carry.constr_lp + new_lpvals,
-            constr_lp=new_lpvals,
+            constr_sum=carry.constr_sum - carry.constr_lp + new_lp,
+            constr_lp=new_lp,
         )
         return carry
 
     def _metrics(self, carry: ADMMCarry) -> ADMMCarry:
-        """Objective + DIMACS from the averaged factors; overwrite the
-        bookkeeping with averaged constraint values (reference semantics)."""
+        """Objective + DIMACS from averaged factors; overwrite bookkeeping
+        with the averaged constraint values (reference semantics)."""
         Ravg = tuple(0.5 * (u + v) for u, v in zip(carry.U, carry.V))
         rlp_avg = 0.5 * (carry.ulp + carry.vlp) if self.has_lp else None
 
@@ -205,17 +213,143 @@ class ADMMPhase:
         pobj = obj
         dobj = jnp.vdot(self.b, carry.dual) / carry.obj_scale
         pinf = primal_infeas_l1(csum, self.b, self.consts.b_nrm1)
-        pinf_inf = pinf * (1.0 + self.consts.b_nrm1) / (1.0 + self.consts.b_nrminf)
+        pinf_inf = pinf * (1.0 + self.consts.b_nrm1) / (
+            1.0 + self.consts.b_nrminf)
         gap = jnp.abs(pobj - dobj) / (1.0 + jnp.abs(pobj) + jnp.abs(dobj))
         return carry._replace(
             constr_val=tuple(cvals), constr_lp=constr_lp, constr_sum=csum,
             pobj=pobj, dobj=dobj, pinf_l1=pinf, pinf_inf=pinf_inf, gap=gap,
         )
 
-    def _dual_update(self, carry: ADMMCarry, rho):
-        return carry._replace(
-            dual=carry.dual + rho * (self.b - carry.constr_sum)
-        )
+    # ---------------- fused chunk ---------------- #
+
+    def _chunk_step(self, carry: ADMMCarry, ctrl: ADMMCtrl, *, mode: str,
+                    iter_ceiling: int):
+        p = self.params
+        dtype = self.b.dtype
+        CH = self.chunk
+        cg_tol_factor = 1e-2 if mode == "main" else 1e-4
+        stats0 = jnp.zeros((CH, STAT_COLS), dtype)
+        # per-iteration (U+V)/2 Gram matrices for oracle-rank logging
+        grams0 = tuple(
+            jnp.zeros((CH, s[1], s[1]), dtype) for s in self.shapes)
+
+        def cond(st):
+            carry, ctrl, j, stats, grams = st
+            overall = (
+                (ctrl.it <= p.max_admm_iter)
+                | (carry.gap >= p.phase2_tol)
+                | (carry.pinf_l1 >= p.phase2_tol))
+            return ((j < CH) & (ctrl.code == CODE_RUN)
+                    & overall & (ctrl.it < iter_ceiling))
+
+        def body(st):
+            carry, ctrl, j, stats, grams = st
+            cg_tol = jnp.minimum(carry.pinf_l1 * cg_tol_factor, 1e-8)
+            carry, cg_iters = self._iteration(carry, ctrl.rho, cg_tol)
+            ctrl = ctrl._replace(cg_total=ctrl.cg_total + cg_iters)
+
+            row = jnp.stack([
+                carry.pobj, carry.dobj, carry.pinf_l1, carry.pinf_inf,
+                carry.gap, ctrl.rho, cg_iters.astype(dtype),
+            ])
+            stats = stats.at[j].set(row)
+            grams = tuple(
+                g.at[j].set(jnp.matmul(
+                    (0.5 * (u + v)).T, 0.5 * (u + v),
+                    preferred_element_type=dtype))
+                for g, u, v in zip(grams, carry.U, carry.V))
+
+            # divergence guard
+            num_err = (carry.pinf_inf >= 1e10) | (carry.gap >= 1 - 1e-8)
+
+            # bad-iteration counters (lorads_admm.c:147-170)
+            bad = ctrl.bad_pd
+            bad = jnp.where(carry.gap <= p.phase2_tol * 5,
+                            jnp.maximum(0, bad - 5), bad)
+            bad = jnp.where(carry.gap >= p.phase1_tol * 1e2, bad + 2, bad)
+            bad_limit = 800 if mode == "main" else 200
+            bad_exit = bad >= bad_limit
+
+            buf = ctrl.buf.at[ctrl.count % 10].set(carry.pinf_inf)
+            count = ctrl.count + 1
+
+            if mode == "main":
+                pinf_exit = carry.pinf_inf <= p.phase2_tol
+                conv_exit = jnp.asarray(False)
+            else:
+                pinf_exit = jnp.asarray(False)
+                conv_exit = (carry.pinf_l1 <= p.phase2_tol) & (
+                    carry.gap <= p.phase2_tol)
+            early = (carry.gap <= p.phase2_tol * 1e-3) & (
+                carry.pinf_l1 <= p.phase2_tol * 1e-3)
+
+            code = jnp.where(
+                num_err, CODE_NUM_ERR,
+                jnp.where(bad_exit, CODE_BAD_ITER,
+                          jnp.where(pinf_exit, CODE_PINF_OK,
+                                    jnp.where(conv_exit | early,
+                                              CODE_CONVERGED, CODE_RUN))))
+            code = code.astype(jnp.int32)
+
+            # dual update + rho schedule only when continuing
+            def advance(args):
+                carry, ctrl = args
+                carry = carry._replace(
+                    dual=carry.dual + ctrl.rho * (self.b - carry.constr_sum))
+                it1 = ctrl.it + 1
+                do_rho = (it1 % p.rho_freq) == 0 if mode == "main" else (
+                    (ctrl.it % p.rho_freq) == 0)
+                rho = jnp.where(do_rho, ctrl.rho * p.rho_factor, ctrl.rho)
+                hit_max = do_rho & (rho >= ctrl.cur_rho_max)
+                rho = jnp.where(hit_max, ctrl.cur_rho_max, rho)
+                # plateau-triggered rhoMax escalation every rho_freq*100
+                plateau_tick = hit_max & (
+                    ((it1 if mode == "main" else ctrl.it)
+                     % (p.rho_freq * 100)) == 0)
+                mean = jnp.sum(jnp.abs(ctrl.buf)) / 10.0
+                stalled = plateau_tick & (mean / ctrl.old_mean >= 0.65)
+                bump = p.rho_factor ** round(
+                    np.log(p.rho_freq * 100) / np.log(p.rho_freq))
+                rho2 = jnp.where(stalled, rho * bump, rho)
+                cur_rho_max = jnp.where(stalled, rho2, ctrl.cur_rho_max)
+                old_mean = jnp.where(plateau_tick, mean, ctrl.old_mean)
+                rho2 = jnp.minimum(rho2, p.rho_ceiling_admm)
+                ctrl = ctrl._replace(it=it1, rho=rho2,
+                                     cur_rho_max=cur_rho_max,
+                                     old_mean=old_mean)
+                return carry, ctrl
+
+            ctrl = ctrl._replace(bad_pd=bad.astype(jnp.int32), buf=buf,
+                                 count=count.astype(jnp.int32))
+            carry, ctrl = jax.lax.cond(
+                code == CODE_RUN, advance, lambda a: a, (carry, ctrl))
+            ctrl = ctrl._replace(code=code)
+            return carry, ctrl, j + 1, stats, grams
+
+        carry, ctrl, j, stats, grams = jax.lax.while_loop(
+            cond, body,
+            (carry, ctrl, jnp.asarray(0, jnp.int32), stats0, grams0))
+
+        # classify the natural loop-exit cases
+        overall = (
+            (ctrl.it <= p.max_admm_iter)
+            | (carry.gap >= p.phase2_tol)
+            | (carry.pinf_l1 >= p.phase2_tol))
+        ctrl = ctrl._replace(code=jnp.where(
+            ctrl.code != CODE_RUN, ctrl.code,
+            jnp.where(~overall, CODE_DONE,
+                      jnp.where(ctrl.it >= iter_ceiling, CODE_CEILING,
+                                CODE_RUN))).astype(jnp.int32))
+        # single packed host blob: header + per-iteration stats + grams
+        header = jnp.stack([
+            ctrl.code.astype(dtype), ctrl.it.astype(dtype),
+            ctrl.cg_total.astype(dtype), ctrl.rho, j.astype(dtype),
+            carry.gap, carry.pinf_l1,
+        ])
+        blob = jnp.concatenate(
+            [header, stats.ravel()] + [g.ravel() for g in grams])
+        return carry, ctrl, blob
 
     # ------------------------------------------------------------------ #
 
@@ -235,104 +369,72 @@ class ADMMPhase:
     def run(self, carry: ADMMCarry, rho: float, iter_start: int,
             iter_ceiling: int, time_start: float, mode: str = "main",
             record_cb=None, rho_max: Optional[float] = None):
-        """Host loop applying the reference rho schedule + stopping logic."""
+        """Dispatch fused chunks until a terminal code."""
         p = self.params
+        dtype = self.b.dtype
         if rho_max is None:
             rho_max = p.rho_max
         info = ADMMInfo()
-        it = iter_start
 
-        if float(carry.gap) <= p.phase2_tol and float(carry.pinf_l1) <= p.phase2_tol:
+        if float(carry.gap) <= p.phase2_tol and \
+                float(carry.pinf_l1) <= p.phase2_tol:
             info.converged = True
-            return carry, rho, it, info
+            return carry, rho, iter_start, info
 
         rho = min(rho, rho_max)
-        cur_rho_max = rho_max
-        old_mean = 1e30
-        buf = [0.0] * 10
-        bad_pd = 0
-        count = 0
-        bad_pd_limit = 800 if mode == "main" else 200
-        cg_tol_factor = 1e-2 if mode == "main" else 1e-4
-
-        while (
-            it <= p.max_admm_iter
-            or float(carry.gap) >= p.phase2_tol
-            or float(carry.pinf_l1) >= p.phase2_tol
-        ):
-            if it >= iter_ceiling:
-                break
-            cg_tol = min(float(carry.pinf_l1) * cg_tol_factor, 1e-8)
-            carry, stats = self._iteration_j(
-                carry, jnp.asarray(rho, self.b.dtype),
-                jnp.asarray(cg_tol, self.b.dtype),
-            )
-            info.cg_iters_total += int(stats.cg_iters)
-            info.iters = it
-
-            pinf_l1 = float(carry.pinf_l1)
-            pinf_inf = float(carry.pinf_inf)
-            gap = float(carry.gap)
-            if record_cb is not None:
-                record_cb(carry, it, int(stats.cg_iters))
-
-            if pinf_inf >= 1e10 or gap >= 1 - 1e-8:
-                info.num_err = True
-                return carry, rho, it, info
-
-            # bad-iteration counters (lorads_admm.c:147-170)
-            if gap <= p.phase2_tol * 5:
-                bad_pd = max(0, bad_pd - 5)
-            elif gap <= p.phase2_tol:
-                bad_pd = max(0, bad_pd - 10)
-            if gap >= p.phase1_tol * 1e2:
-                bad_pd += 2
-            if bad_pd >= bad_pd_limit:
-                info.bad_iter = True
-                return carry, rho, it, info
-
-            buf[count % 10] = pinf_inf
-            count += 1
-
-            if mode == "main":
-                if pinf_inf <= p.phase2_tol:
-                    info.converged = gap <= p.phase2_tol
-                    return carry, rho, it, info
-            else:
-                if pinf_l1 <= p.phase2_tol and gap <= p.phase2_tol:
-                    info.converged = True
-                    return carry, rho, it, info
-
-            carry = self._dual_update_j(carry, jnp.asarray(rho, self.b.dtype))
-
-            # rho schedule with plateau-triggered rhoMax escalation
-            if (it + 1) % p.rho_freq == 0:
-                rho *= p.rho_factor
-                if rho >= cur_rho_max:
-                    rho = cur_rho_max
-                    if (it + 1) % (p.rho_freq * 100) == 0:
-                        mean = float(np.mean(np.abs(buf)))
-                        if mean / old_mean >= 0.65:
-                            rho *= p.rho_factor ** round(
-                                np.log(p.rho_freq * 100) / np.log(p.rho_freq)
-                            )
-                            cur_rho_max = rho
-                        old_mean = mean
-                if rho >= p.rho_ceiling_admm:
-                    rho = p.rho_ceiling_admm
-
-            if it % 50 == 0:
-                if time.time() - time_start >= p.time_sec_limit:
-                    info.time_limit = True
-                    return carry, rho, it, info
-
-            if gap <= p.phase2_tol * 1e-3 and pinf_l1 <= p.phase2_tol * 1e-3:
-                info.converged = True
-                return carry, rho, it, info
-            it += 1
-
-        info.converged = (
-            float(carry.gap) <= p.phase2_tol
-            and float(carry.pinf_l1) <= p.phase2_tol
+        ctrl = ADMMCtrl(
+            it=jnp.asarray(iter_start, jnp.int32),
+            rho=jnp.asarray(rho, dtype),
+            cur_rho_max=jnp.asarray(rho_max, dtype),
+            old_mean=jnp.asarray(1e30, dtype),
+            buf=jnp.zeros(10, dtype),
+            count=jnp.asarray(0, jnp.int32),
+            bad_pd=jnp.asarray(0, jnp.int32),
+            cg_total=jnp.asarray(0, jnp.int32),
+            code=jnp.asarray(CODE_RUN, jnp.int32),
         )
-        return carry, rho, it, info
+        step = self._chunk_j(mode, int(iter_ceiling))
+        CH = self.chunk
+        gram_sizes = [int(s[1]) for s in self.shapes]
+        while True:
+            carry, ctrl, blob = step(carry, ctrl)
+            # ONE host readback per chunk
+            blob = np.asarray(blob)
+            code = int(blob[0])
+            it_now = int(blob[1])
+            cg_total = int(blob[2])
+            n_done = int(blob[4])
+            if record_cb is not None and n_done:
+                srows = blob[7: 7 + CH * STAT_COLS].reshape(CH, STAT_COLS)
+                goff = 7 + CH * STAT_COLS
+                grows = []
+                for r in gram_sizes:
+                    grows.append(
+                        blob[goff: goff + CH * r * r].reshape(CH, r, r))
+                    goff += CH * r * r
+                base_it = it_now - n_done
+                for r_i in range(n_done):
+                    record_cb(srows[r_i],
+                              [g[r_i] for g in grows],
+                              base_it + r_i)
+            info.iters = it_now
+            info.cg_iters_total = cg_total
+            last_gap, last_pinf, last_rho = blob[5], blob[6], blob[3]
+            if code == CODE_NUM_ERR:
+                info.num_err = True
+                break
+            if code == CODE_BAD_ITER:
+                info.bad_iter = True
+                break
+            if code in (CODE_CONVERGED, CODE_PINF_OK, CODE_DONE):
+                info.converged = (
+                    last_gap <= p.phase2_tol and last_pinf <= p.phase2_tol)
+                if code == CODE_CONVERGED:
+                    info.converged = True if mode != "main" else info.converged
+                break
+            if code == CODE_CEILING:
+                break
+            if time.time() - time_start >= p.time_sec_limit:
+                info.time_limit = True
+                break
+        return carry, float(last_rho), it_now, info

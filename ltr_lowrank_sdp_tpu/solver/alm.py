@@ -1,20 +1,26 @@
-"""Phase I: augmented Lagrangian method on X = RR^T.
+"""Phase I: augmented Lagrangian method on X = RR^T — fully fused on device.
 
-TPU-first split of the reference control flow (``LORADS_ALMOptimize`` /
-``LORADS_ALMOptimize_reopt``, ``lorads_alm.c:959-1484``):
+TPU-first re-design of ``LORADS_ALMOptimize`` / ``LORADS_ALMOptimize_reopt``
+(``lorads_alm.c:959-1484``).  The entire outer iteration — the EMA stall
+gate, the difficulty sub-loop wrapping the L-BFGS inner descent loop (exact
+quartic line search via in-graph Cardano roots), the dual update, difficulty
+grading, the rho-escalation do-while with its certificate recheck, rho-factor
+dampening, and the DIMACS metric computation — compiles into ONE XLA
+executable; the host dispatches once per outer iteration and only handles
+trajectory recording, rank escalation (a shape change -> new executable) and
+wall-clock limits.  This matters doubly under a remote-TPU tunnel where every
+dispatch costs ~100 ms.
 
-* the **inner descent loop** (L-BFGS direction -> exact quartic line search
-  -> factor update -> gradient) is one ``lax.while_loop`` compiled per rank
-  signature — hundreds of steps run on-device with zero host sync;
-* the **outer control laws** (EMA stall detection, difficulty grading,
-  rho escalation with its do-while certificate recheck, rank-escalation
-  triggers, trajectory recording) are cheap scalar logic on the host,
-  exactly mirroring the reference's semantics.
+Control-law semantics are kept faithful to the reference, with scalar state
+carried through ``lax.while_loop`` instead of C locals:
 
-Per inner step the kernel evaluations are: <C,.>/A(.) contractions for
-(R, D) and (D, D) (line-search coefficients, ``ALMCalq12p12``), a fresh
-A(RR^T) after the update, and one adjoint application for the gradient —
-the same operator count as the reference inner loop.
+* EMA gate: alpha 0.1, threshold 0.005, interval 5 (``LUtilUpdateCheckEma``);
+* difficulty grading EASY<=20<MEDIUM<=100<HARD<400<=SUPER accumulating
+  rank_flag 0/2/3/4 (``:1383-1400``);
+* MAX_ALM_SUB_ITER 5000 -> +10000 -> cap 25000 on repeated exhaustion;
+* rho do-while: rho *= factor until certificate tolerance drops below the
+  certificate value, factor dampened (sqrt(sqrt())) past 5e4/5e6/5e8;
+* inner-loop caps: 800 per sub-loop pass; L-BFGS restart every 300 steps.
 """
 
 from __future__ import annotations
@@ -29,7 +35,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import SolverParams
-from ..ops import coneops
 from ..ops.cubic import quartic_linesearch
 from ..ops import lbfgs as lbfgs_mod
 from .common import (
@@ -42,6 +47,13 @@ from .common import (
 
 EASY, MEDIUM, HARD, SUPER = 0, 1, 2, 3
 
+# outer-step exit codes
+CODE_CONTINUE = 0
+CODE_CONVERGED = 1
+CODE_NUM_ERR = 2
+CODE_ESCALATE = 3
+CODE_MAXITER = 4
+
 
 class ALMCarry(NamedTuple):
     R: Tuple[jnp.ndarray, ...]
@@ -52,7 +64,7 @@ class ALMCarry(NamedTuple):
     grad_lp: Optional[jnp.ndarray]
     hist: lbfgs_mod.LBFGSHistory
     rho: jnp.ndarray
-    obj_scale: jnp.ndarray       # scaleObjHis: C is used as obj_scale * C
+    obj_scale: jnp.ndarray       # scaleObjHis: C enters as obj_scale * C
     cert_val: jnp.ndarray
     cert_tol: jnp.ndarray
     pinf_l1: jnp.ndarray
@@ -62,17 +74,35 @@ class ALMCarry(NamedTuple):
     dobj: jnp.ndarray
 
 
+class OuterCtrl(NamedTuple):
+    """Scalar control state of the ALM outer loop (all traced)."""
+
+    k: jnp.ndarray                  # outer iteration counter
+    k0: jnp.ndarray
+    last_outer_start: jnp.ndarray
+    rank_flag: jnp.ndarray          # i32
+    ema_cur: jnp.ndarray
+    ema_old: jnp.ndarray
+    ema_counter: jnp.ndarray
+    cur_iter_counter: jnp.ndarray
+    max_sub_iter: jnp.ndarray
+    update_max_sub_counter: jnp.ndarray
+    rho_update_factor: jnp.ndarray
+    rho_factor_flag: jnp.ndarray
+    inner_total: jnp.ndarray        # cumulative inner iterations
+    code: jnp.ndarray               # exit code (CODE_*)
+
+
 class PassStats(NamedTuple):
     local_iter: jnp.ndarray
     num_err: jnp.ndarray
     tau_small: jnp.ndarray
     early_exit: jnp.ndarray
-    last_tau: jnp.ndarray
 
 
 @dataclasses.dataclass
 class ALMOuterInfo:
-    """Host-side per-outer-iteration info for logging / rank control."""
+    """Host-side summary after an ALM run."""
 
     outer_iter: int = 0
     inner_iter: int = 0
@@ -80,6 +110,23 @@ class ALMOuterInfo:
     num_err: bool = False
     time_limit: bool = False
     converged: bool = False
+
+
+def make_outer_ctrl(params: SolverParams, outer_iter: int,
+                    last_outer_start: int, rho_update_factor: float,
+                    inner_total: int = 0, dtype=jnp.float64) -> OuterCtrl:
+    i32 = lambda v: jnp.asarray(v, jnp.int32)
+    f = lambda v: jnp.asarray(v, dtype)
+    return OuterCtrl(
+        k=i32(outer_iter), k0=i32(outer_iter),
+        last_outer_start=i32(last_outer_start),
+        rank_flag=i32(0),
+        ema_cur=f(0.0), ema_old=f(0.0), ema_counter=i32(1),
+        cur_iter_counter=i32(1),
+        max_sub_iter=i32(5000), update_max_sub_counter=i32(0),
+        rho_update_factor=f(rho_update_factor), rho_factor_flag=i32(0),
+        inner_total=i32(inner_total), code=i32(CODE_CONTINUE),
+    )
 
 
 class ALMPhase:
@@ -97,17 +144,26 @@ class ALMPhase:
         self.has_lp = n_lp > 0
         self.n_elems = int(sum(np.prod(s) for s in shapes)) + n_lp
 
-        self._inner_pass_main = jax.jit(partial(self._inner_pass, early_variant=False))
-        self._inner_pass_reopt = jax.jit(partial(self._inner_pass, early_variant=True))
         self._grad_cert_j = jax.jit(self._grad_cert)
         self._metrics_j = jax.jit(self._metrics)
-        self._dual_and_grad_j = jax.jit(self._dual_and_grad)
-        self._constr_j = jax.jit(
-            lambda c: self._obj_and_constr(c.R, c.R, c.rlp, c.rlp)[1]
-        )
+        self._prepare_j = jax.jit(self._prepare_graph)
+        self._outer_step_cache = {}
+
+    def _phase_step_j(self, mode: str, early_stop: bool, is_rank_max: bool,
+                      rank_thresh: float, max_alm_iter: int,
+                      max_outer: int = 25):
+        key = (mode, early_stop, is_rank_max, rank_thresh, max_alm_iter,
+               max_outer)
+        if key not in self._outer_step_cache:
+            self._outer_step_cache[key] = jax.jit(partial(
+                self._phase_step, mode=mode, early_stop=early_stop,
+                is_rank_max=is_rank_max, rank_thresh=rank_thresh,
+                max_alm_iter=max_alm_iter, max_outer=max_outer,
+            ))
+        return self._outer_step_cache[key]
 
     # ------------------------------------------------------------------ #
-    # jitted pieces
+    # traced pieces
     # ------------------------------------------------------------------ #
 
     def _obj_and_constr(self, U, V, ulp, vlp):
@@ -132,30 +188,34 @@ class ALMPhase:
 
     def _dual_and_grad(self, carry: ALMCarry) -> ALMCarry:
         dual = carry.dual + carry.rho * (self.b - carry.constr_sum)
-        carry = carry._replace(dual=dual)
-        return self._grad_cert(carry)
+        return self._grad_cert(carry._replace(dual=dual))
 
     def _metrics(self, carry: ALMCarry) -> ALMCarry:
-        """Fresh objective values, constraint values and DIMACS errors.
+        """Fresh objective / constraint values / DIMACS errors.
 
-        The optimization internally weights C by ``obj_scale`` (reopt
-        rescaling) but reporting is always in the original objective:
-        pObj = <C, X>, dObj = b'lambda / obj_scale (the dual variable lives
-        in the scaled problem, cf. ``objScale_dualvar``).
-        """
-        obj, cvals = self._obj_and_constr(carry.R, carry.R, carry.rlp, carry.rlp)
+        Reporting is in the original objective: pObj = <C, X>,
+        dObj = b'lambda / obj_scale (cf. ``objScale_dualvar``)."""
+        obj, cvals = self._obj_and_constr(carry.R, carry.R, carry.rlp,
+                                          carry.rlp)
         pobj = obj
         dobj = jnp.vdot(self.b, carry.dual) / carry.obj_scale
         pinf = primal_infeas_l1(cvals, self.b, self.consts.b_nrm1)
         gap = jnp.abs(pobj - dobj) / (1.0 + jnp.abs(pobj) + jnp.abs(dobj))
-        pinf_inf = pinf * (1.0 + self.consts.b_nrm1) / (1.0 + self.consts.b_nrminf)
+        pinf_inf = pinf * (1.0 + self.consts.b_nrm1) / (
+            1.0 + self.consts.b_nrminf)
         return carry._replace(
             constr_sum=cvals, pobj=pobj, dobj=dobj, pinf_l1=pinf,
             pinf_inf=pinf_inf, gap=gap,
         )
 
+    def _prepare_graph(self, carry: ALMCarry) -> ALMCarry:
+        carry = self._metrics(carry)
+        carry = carry._replace(cert_tol=0.1 / carry.rho)
+        return self._grad_cert(carry)
+
+    # ---------------- inner descent loop (one sub-loop pass) ----------- #
+
     def _inner_pass(self, carry: ALMCarry, early_variant: bool):
-        """One sub-problem pass: L-BFGS descent loop + dual update."""
         p = self.params
         dtype = self.b.dtype
         st0 = (
@@ -165,20 +225,18 @@ class ALMPhase:
             jnp.asarray(False),            # num_err
             jnp.asarray(False),            # tau_small
             jnp.asarray(False),            # early_exit
-            jnp.asarray(0.0, dtype),       # last tau
         )
 
         def cond(st):
-            c, local_iter, clear, num_err, tau_small, early, _tau = st
-            run = (
+            c, local_iter, clear, num_err, tau_small, early = st
+            return (
                 (c.cert_val - c.cert_tol > p.end_alm_sub_tol)
                 & (local_iter <= 800)
                 & ~(num_err | tau_small | early)
             )
-            return run
 
         def body(st):
-            c, local_iter, clear, num_err, tau_small, early, _tau = st
+            c, local_iter, clear, num_err, tau_small, early = st
             clear = jnp.where(local_iter % 300 == 0, 0, clear)
             grad_flat = flatten_factors(c.grad, c.grad_lp)
             D_flat = lbfgs_mod.direction(c.hist, grad_flat, n_valid=clear)
@@ -193,8 +251,7 @@ class ALMPhase:
             q2 = cDD
 
             tau, root_num = quartic_linesearch(
-                c.rho, c.dual, p1, p2, q0, q1, q2
-            )
+                c.rho, c.dual, p1, p2, q0, q1, q2)
             num_err = root_num == 0
             tau_small = (~num_err) & (jnp.abs(tau) < p.end_tau_tol)
             do_update = ~(num_err | tau_small)
@@ -214,19 +271,16 @@ class ALMPhase:
             cert = jnp.sqrt(gsq) / (1.0 + self.consts.c_nrminf)
             grad_flat_new = flatten_factors(grads, grad_lp)
             hist = lbfgs_mod.push_pair(
-                c.hist, tau_eff * D_flat, grad_flat_new - grad_flat
-            )
+                c.hist, tau_eff * D_flat, grad_flat_new - grad_flat)
 
             pinf = primal_infeas_l1(cvals, self.b, self.consts.b_nrm1)
             pinf_inf = pinf * (1.0 + self.consts.b_nrm1) / (
-                1.0 + self.consts.b_nrminf
-            )
+                1.0 + self.consts.b_nrminf)
             if not early_variant:
                 # main-phase early exit inside the inner loop
                 # (lorads_alm.c:1344-1357); gap is the stale outer value.
                 early = (pinf_inf <= p.phase1_tol) & (
-                    (c.gap <= p.phase1_tol) | (not p.high_acc_mode)
-                )
+                    (c.gap <= p.phase1_tol) | (not p.high_acc_mode))
             else:
                 early = jnp.asarray(False)
             early = early & do_update
@@ -236,13 +290,10 @@ class ALMPhase:
                 grad_lp=grad_lp, hist=hist, cert_val=cert, pinf_l1=pinf,
                 pinf_inf=pinf_inf,
             )
-            return (
-                c, local_iter + 1, clear + 1, num_err, tau_small, early, tau,
-            )
+            return (c, local_iter + 1, clear + 1, num_err, tau_small, early)
 
-        carry, local_iter, clear, num_err, tau_small, early, tau = (
-            jax.lax.while_loop(cond, body, st0)
-        )
+        carry, local_iter, clear, num_err, tau_small, early = (
+            jax.lax.while_loop(cond, body, st0))
 
         # dual update + gradient refresh only on natural loop exit
         do_dual = ~(num_err | tau_small | early)
@@ -250,22 +301,253 @@ class ALMPhase:
 
         return carry, PassStats(
             local_iter=local_iter, num_err=num_err, tau_small=tau_small,
-            early_exit=early, last_tau=tau,
+            early_exit=early,
         )
 
+    # ---------------- fused outer iteration ---------------------------- #
+
+    def _outer_step(self, carry: ALMCarry, ctrl: OuterCtrl, *, mode: str,
+                    early_stop: bool, is_rank_max: bool, rank_thresh: float,
+                    max_alm_iter: int):
+        p = self.params
+        dtype = self.b.dtype
+        early_variant = (mode == "reopt")
+
+        # --- outer loop-head bound checks ---
+        if mode == "main":
+            head_done = ctrl.k > max_alm_iter
+        else:
+            cond_ok = (carry.pinf_inf <= p.phase1_tol) & (
+                (carry.gap <= max(p.phase1_tol, p.phase2_tol * 5))
+                | (not p.high_acc_mode))
+            head_done = ((ctrl.k > max_alm_iter) & cond_ok) | (
+                ctrl.k > max_alm_iter + 50)
+
+        def run_outer(args):
+            carry, ctrl = args
+            # per-outer-iteration resets (lorads_alm.c:1011-1018)
+            grow = ctrl.update_max_sub_counter >= 2
+            ctrl = ctrl._replace(
+                ema_cur=jnp.asarray(0.0, dtype),
+                ema_old=jnp.asarray(0.0, dtype),
+                ema_counter=jnp.asarray(1, jnp.int32),
+                cur_iter_counter=jnp.asarray(1, jnp.int32),
+                max_sub_iter=jnp.where(
+                    grow, jnp.minimum(ctrl.max_sub_iter + 10000, 25000),
+                    ctrl.max_sub_iter),
+                update_max_sub_counter=jnp.where(
+                    grow, 0, ctrl.update_max_sub_counter),
+            )
+
+            # ---- difficulty sub-loop ----
+            def sub_cond(st):
+                carry, ctrl, cont = st
+                return cont & (ctrl.code == CODE_CONTINUE)
+
+            def sub_body(st):
+                carry, ctrl, cont = st
+                # EMA stall gate
+                ema_cur = 0.1 * carry.cert_val + 0.9 * ctrl.ema_cur
+                do_check = ctrl.ema_counter >= 5
+                safe_old = jnp.where(ctrl.ema_old != 0.0, ctrl.ema_old, 1.0)
+                change = (ema_cur - ctrl.ema_old) / safe_old
+                within = (change >= -0.005) & (change <= 0.005)
+                if_break = jnp.where(do_check & (ctrl.ema_old != 0.0),
+                                     within, True)
+                ctrl = ctrl._replace(
+                    ema_cur=ema_cur,
+                    ema_old=jnp.where(do_check, ema_cur, ctrl.ema_old),
+                    ema_counter=jnp.where(do_check, 1, ctrl.ema_counter + 1),
+                )
+                stop_ema = (~if_break) & (not p.high_acc_mode)
+                stop_iters = ctrl.cur_iter_counter >= ctrl.max_sub_iter
+                stop_rank = (
+                    (ctrl.rank_flag >= rank_thresh)
+                    & (not is_rank_max)
+                    & (ctrl.k - ctrl.last_outer_start >= 3)
+                )
+                stop_cert = carry.cert_val <= carry.cert_tol
+                stop = stop_ema | stop_iters | stop_rank | stop_cert
+                ctrl = ctrl._replace(
+                    update_max_sub_counter=ctrl.update_max_sub_counter
+                    + stop_iters.astype(jnp.int32))
+
+                def run_inner(args):
+                    carry, ctrl = args
+                    carry, stats = self._inner_pass(carry, early_variant)
+                    local = stats.local_iter
+                    ctrl = ctrl._replace(
+                        cur_iter_counter=ctrl.cur_iter_counter + local,
+                        inner_total=ctrl.inner_total + local,
+                    )
+                    code = jnp.where(
+                        stats.num_err, CODE_NUM_ERR,
+                        jnp.where(stats.early_exit, CODE_CONVERGED,
+                                  CODE_CONTINUE)).astype(jnp.int32)
+                    ctrl = ctrl._replace(code=jnp.where(
+                        ctrl.code == CODE_CONTINUE, code, ctrl.code))
+                    graded = ~(stats.num_err | stats.tau_small
+                               | stats.early_exit)
+                    easy = local <= 20
+                    add = jnp.where(
+                        local <= 20, 0,
+                        jnp.where(local <= 100, 2,
+                                  jnp.where(local < 400, 3, 4)))
+                    new_flag = jnp.where(
+                        graded & easy, 0,
+                        ctrl.rank_flag + jnp.where(graded, add, 0))
+                    ctrl = ctrl._replace(rank_flag=new_flag.astype(jnp.int32))
+                    cont = graded & (~easy)
+                    return carry, ctrl, cont
+
+                carry, ctrl, cont = jax.lax.cond(
+                    stop,
+                    lambda a: (a[0], a[1], jnp.asarray(False)),
+                    run_inner,
+                    (carry, ctrl),
+                )
+                return carry, ctrl, cont
+
+            carry, ctrl, _ = jax.lax.while_loop(
+                sub_cond, sub_body, (carry, ctrl, jnp.asarray(True)))
+
+            # ---- UpdateRho do-while (skip on num_err / converged) ----
+            def update_rho(args):
+                carry, ctrl = args
+
+                def rho_once(carry):
+                    new_rho = jnp.minimum(
+                        carry.rho * ctrl.rho_update_factor,
+                        p.rho_ceiling_alm)
+                    carry = carry._replace(
+                        rho=new_rho, cert_tol=0.1 / new_rho)
+                    return self._grad_cert(carry)
+
+                carry = rho_once(carry)
+
+                def rho_cond(carry):
+                    return (carry.cert_tol >= carry.cert_val) & (
+                        carry.rho < p.rho_ceiling_alm)
+
+                carry = jax.lax.while_loop(rho_cond, rho_once, carry)
+
+                # factor dampening (lorads_alm.c:1410-1419)
+                f = ctrl.rho_update_factor
+                flag = ctrl.rho_factor_flag
+                c4 = (carry.rho >= 5e4) & (flag < 4)
+                c6 = (~c4) & (carry.rho >= 5e6) & (flag < 6)
+                c8 = (~c4) & (~c6) & (carry.rho >= 5e8) & (flag < 8)
+                damp = c4 | c6 | c8
+                f = jnp.where(damp, jnp.sqrt(jnp.sqrt(f)), f)
+                flag = jnp.where(c4, 4, jnp.where(c6, 6,
+                                                  jnp.where(c8, 8, flag)))
+                ctrl = ctrl._replace(rho_update_factor=f,
+                                     rho_factor_flag=flag.astype(jnp.int32))
+                return carry, ctrl
+
+            carry, ctrl = jax.lax.cond(
+                ctrl.code == CODE_CONTINUE, update_rho,
+                lambda a: a, (carry, ctrl))
+
+            ctrl = ctrl._replace(k=ctrl.k + 1)
+
+            # ---- metrics + convergence / escalation codes ----
+            carry = self._metrics(carry)
+
+            def exit_code(carry, ctrl):
+                code = ctrl.code
+                if mode == "main":
+                    conv = (carry.pinf_inf <= p.phase1_tol) & (
+                        (carry.gap <= p.phase1_tol) | (not p.high_acc_mode))
+                    conv = conv | (
+                        (carry.gap <= p.phase1_tol * 1e-3)
+                        & (carry.pinf_l1 <= p.phase1_tol * 1e-3))
+                else:
+                    if early_stop:
+                        conv = (
+                            (carry.pinf_l1 <= p.phase1_tol)
+                            & (carry.gap <= max(p.phase1_tol,
+                                                p.phase2_tol * 5))
+                            & (ctrl.k - ctrl.k0 > 1))
+                    else:
+                        conv = (
+                            (carry.gap <= p.phase2_tol)
+                            & (carry.pinf_l1 <= p.phase2_tol)
+                            & (ctrl.k - ctrl.k0 > 1))
+                code = jnp.where(
+                    (code == CODE_CONTINUE) & conv, CODE_CONVERGED, code)
+                # rank-escalation request
+                allow_esc = (not is_rank_max) and (
+                    mode == "main" or len(self.cones) <= 10)
+                if allow_esc:
+                    esc = (
+                        (ctrl.rank_flag >= rank_thresh)
+                        & (ctrl.k - ctrl.last_outer_start >= 2))
+                    code = jnp.where(
+                        (code == CODE_CONTINUE) & esc, CODE_ESCALATE, code)
+                return code.astype(jnp.int32)
+
+            ctrl = ctrl._replace(code=exit_code(carry, ctrl))
+            return carry, ctrl
+
+        def head_exit(args):
+            carry, ctrl = args
+            ctrl = ctrl._replace(code=jnp.asarray(CODE_MAXITER, jnp.int32))
+            return carry, ctrl
+
+        carry, ctrl = jax.lax.cond(head_done, head_exit, run_outer,
+                                   (carry, ctrl))
+        return carry, ctrl
+
+    def _stats_row(self, carry: ALMCarry, ctrl: OuterCtrl):
+        """Pack everything the host needs into one vector: 10 scalars
+        followed by the flattened r x r Gram matrices (oracle rank)."""
+        dtype = self.b.dtype
+        scalars = jnp.stack([
+            ctrl.code.astype(dtype), ctrl.k.astype(dtype),
+            ctrl.inner_total.astype(dtype), ctrl.rank_flag.astype(dtype),
+            carry.pobj, carry.dobj, carry.pinf_l1, carry.pinf_inf,
+            carry.gap, carry.rho,
+        ])
+        grams = [jnp.matmul(r.T, r, preferred_element_type=dtype).ravel()
+                 for r in carry.R]
+        return jnp.concatenate([scalars] + grams)
+
+    def _phase_step(self, carry: ALMCarry, ctrl: OuterCtrl, *, mode: str,
+                    early_stop: bool, is_rank_max: bool, rank_thresh: float,
+                    max_alm_iter: int, max_outer: int):
+        """Run up to ``max_outer`` fused outer iterations in one dispatch.
+
+        Returns (carry, ctrl, n_done, buf) where buf[j] is the packed stats
+        row after outer iteration j — ONE host readback per dispatch.
+        """
+        row_len = 10 + sum(int(s[1]) * int(s[1]) for s in self.shapes)
+        buf0 = jnp.zeros((max_outer, row_len), self.b.dtype)
+
+        def cond(st):
+            carry, ctrl, j, buf = st
+            return (ctrl.code == CODE_CONTINUE) & (j < max_outer)
+
+        def body(st):
+            carry, ctrl, j, buf = st
+            carry, ctrl = self._outer_step(
+                carry, ctrl, mode=mode, early_stop=early_stop,
+                is_rank_max=is_rank_max, rank_thresh=rank_thresh,
+                max_alm_iter=max_alm_iter)
+            buf = buf.at[j].set(self._stats_row(carry, ctrl))
+            return carry, ctrl, j + 1, buf
+
+        carry, ctrl, j, buf = jax.lax.while_loop(
+            cond, body, (carry, ctrl, jnp.asarray(0, jnp.int32), buf0))
+        return carry, ctrl, j, buf
+
     # ------------------------------------------------------------------ #
-    # host-side outer driver
+    # host driver
     # ------------------------------------------------------------------ #
 
     def prepare(self, carry: ALMCarry) -> ALMCarry:
-        """(Re)initialize constraint values, gradient and certificates —
-        the reference's ALG_START block."""
-        cvals = self._constr_j(carry)
-        carry = carry._replace(
-            constr_sum=cvals,
-            cert_tol=0.1 / carry.rho,
-        )
-        return self._grad_cert_j(carry)
+        """ALG_START block: fresh constraint values, certificates, metrics."""
+        return self._prepare_j(carry)
 
     def run(
         self,
@@ -281,210 +563,58 @@ class ALMPhase:
         last_outer_start: Optional[int] = None,
         rank_thresh: Optional[float] = None,
     ):
-        """Run the ALM outer loop until convergence / rank-escalation request.
-
-        Returns (carry, info) where info.rank_flag >= threshold signals the
-        caller to escalate rank and re-enter (the reference's AUG_RANK +
-        goto ALG_START, ``lorads_alm.c:1456-1465``).
-        """
+        """Dispatch fused outer iterations until a terminal code."""
         p = self.params
         if rho_update_factor is None:
             rho_update_factor = p.alm_rho_factor
         if max_alm_iter is None:
             max_alm_iter = p.max_alm_iter
+        if rank_thresh is None:
+            rank_thresh = p.rank_flag_threshold()
+        if last_outer_start is None:
+            last_outer_start = 1 if mode == "main" else outer_iter_start
 
         info = ALMOuterInfo(outer_iter=outer_iter_start)
         carry = self.prepare(carry)
-
-        if rank_thresh is None:
-            rank_thresh = p.rank_flag_threshold()
-        max_sub_iter = 5000
-        max_sub_iter_ceil = 25000
-        update_max_sub_counter = 0
-        rho_factor_flag = 0
-        k = outer_iter_start
-        k0 = outer_iter_start
-        if last_outer_start is None:
-            last_outer_start = 1 if mode == "main" else outer_iter_start
-        rank_flag = 0
-        difficulty = HARD
-
+        ctrl = make_outer_ctrl(p, outer_iter_start, last_outer_start,
+                               rho_update_factor, dtype=self.b.dtype)
+        step = self._phase_step_j(mode, early_stop, is_rank_max,
+                                  float(rank_thresh), int(max_alm_iter))
+        gram_sizes = [int(s[1]) for s in self.shapes]
         while True:
-            # ---- outer termination check (loop head) ----
-            if mode == "main":
-                if k > max_alm_iter:
-                    break
-            else:
-                if (k > max_alm_iter) and (
-                    float(carry.pinf_inf) <= p.phase1_tol
-                    and (
-                        float(carry.gap) <= max(p.phase1_tol, p.phase2_tol * 5)
-                        or not p.high_acc_mode
-                    )
-                ):
-                    break
-                if k > max_alm_iter + 50:  # hard stop safeguard
-                    break
-
-            # per-outer-iteration EMA state (lorads_alm.c:1011-1018)
-            ema_cur = 0.0
-            ema_old = 0.0
-            ema_counter = 1
-            cur_iter_counter = 1
-            if update_max_sub_counter >= 2:
-                update_max_sub_counter = 0
-                max_sub_iter = min(max_sub_iter + 10000, max_sub_iter_ceil)
-
-            goto_update_rho = False
-            while difficulty != EASY:
-                # EMA stall gate
-                ema_cur = 0.1 * float(carry.cert_val) + 0.9 * ema_cur
-                if_break = True
-                if ema_counter >= 5:
-                    if ema_old != 0.0:
-                        change = (ema_cur - ema_old) / ema_old
-                        if_break = -0.005 <= change <= 0.005
-                    ema_old = ema_cur
-                    ema_counter = 1
-                else:
-                    ema_counter += 1
-                if not if_break and not p.high_acc_mode:
-                    break
-                if cur_iter_counter >= max_sub_iter:
-                    update_max_sub_counter += 1
-                    break
-                if (
-                    rank_flag >= rank_thresh
-                    and not is_rank_max
-                    and (k - last_outer_start >= 3)
-                ):
-                    break
-                if float(carry.cert_val) <= float(carry.cert_tol):
-                    break
-
-                fn = (
-                    self._inner_pass_reopt if mode == "reopt"
-                    else self._inner_pass_main
-                )
-                carry, stats = fn(carry)
-                local_iter = int(stats.local_iter)
-                info.inner_iter += local_iter
-                cur_iter_counter += local_iter
-
-                if bool(stats.num_err):
-                    info.num_err = True
-                    info.outer_iter = k
-                    info.rank_flag = rank_flag
-                    carry = self._metrics_j(carry)
-                    return carry, info
-                if bool(stats.early_exit):
-                    info.outer_iter = k
-                    info.converged = True
-                    info.rank_flag = rank_flag
-                    carry = self._metrics_j(carry)
-                    return carry, info
-                if bool(stats.tau_small):
-                    goto_update_rho = True
-                    break
-
-                # difficulty grading (lorads_alm.c:1383-1400)
-                if local_iter <= 20:
-                    difficulty = EASY
-                elif local_iter <= 100:
-                    difficulty = MEDIUM
-                    rank_flag += 2
-                elif local_iter < 400:
-                    difficulty = HARD
-                    rank_flag += 3
-                else:
-                    difficulty = SUPER
-                    rank_flag += 4
-                if difficulty == EASY:
-                    rank_flag = 0
-
-            # ---- UpdateRho (lorads_alm.c:1403-1421) ----
-            del goto_update_rho
-            while True:
-                new_rho = min(float(carry.rho) * rho_update_factor,
-                              p.rho_ceiling_alm)
-                carry = carry._replace(
-                    rho=jnp.asarray(new_rho, self.b.dtype),
-                    cert_tol=jnp.asarray(0.1 / new_rho, self.b.dtype),
-                )
-                carry = self._grad_cert_j(carry)
-                if float(carry.cert_tol) < float(carry.cert_val):
-                    break
-                if new_rho >= p.rho_ceiling_alm:
-                    break
-            rho_val = float(carry.rho)
-            if rho_val >= 5e4 and rho_factor_flag < 4:
-                rho_update_factor = float(np.sqrt(np.sqrt(rho_update_factor)))
-                rho_factor_flag = 4
-            elif rho_val >= 5e6 and rho_factor_flag < 6:
-                rho_update_factor = float(np.sqrt(np.sqrt(rho_update_factor)))
-                rho_factor_flag = 6
-            elif rho_val >= 5e8 and rho_factor_flag < 8:
-                rho_update_factor = float(np.sqrt(np.sqrt(rho_update_factor)))
-                rho_factor_flag = 8
-
-            difficulty = HARD
-            k += 1
-            info.outer_iter = k
-
-            # ---- per-outer metrics / exits ----
-            carry = self._metrics_j(carry)
-            pinf_l1 = float(carry.pinf_l1)
-            pinf_inf = float(carry.pinf_inf)
-            gap = float(carry.gap)
-
-            if mode == "main":
-                if pinf_inf <= p.phase1_tol and (
-                    gap <= p.phase1_tol or not p.high_acc_mode
-                ):
-                    info.converged = True
-                    break
-                if (
-                    gap <= p.phase1_tol * 1e-3
-                    and pinf_l1 <= p.phase1_tol * 1e-3
-                ):
-                    info.converged = True
-                    break
-            else:
-                if early_stop:
-                    if (
-                        pinf_l1 <= p.phase1_tol
-                        and gap <= max(p.phase1_tol, p.phase2_tol * 5)
-                        and (k - k0) > 1
-                    ):
-                        info.converged = True
-                        break
-                else:
-                    if (
-                        gap <= p.phase2_tol
-                        and pinf_l1 <= p.phase2_tol
-                        and (k - k0) > 1
-                    ):
-                        info.converged = True
-                        break
-
-            if record_cb is not None:
-                record_cb(carry, k, info.inner_iter)
+            carry, ctrl, n_done, buf = step(carry, ctrl)
+            # ONE host readback per dispatch: the packed stats buffer
+            rows = np.asarray(buf)
+            n_done = int(n_done)
+            code = CODE_CONTINUE
+            for j in range(n_done):
+                row = rows[j]
+                code = int(row[0])
+                info.outer_iter = int(row[1])
+                info.inner_iter = int(row[2])
+                info.rank_flag = int(row[3])
+                if record_cb is not None and code in (CODE_CONTINUE,
+                                                      CODE_CONVERGED):
+                    grams = []
+                    off = 10
+                    for r in gram_sizes:
+                        grams.append(row[off: off + r * r].reshape(r, r))
+                        off += r * r
+                    record_cb(row, info.outer_iter, info.inner_iter, grams)
+            if code == CODE_CONVERGED:
+                info.converged = True
+                return carry, info
+            if code == CODE_NUM_ERR:
+                info.num_err = True
+                return carry, info
+            if code == CODE_ESCALATE:
+                return carry, info
+            if code == CODE_MAXITER:
+                info.rank_flag = 0
+                return carry, info
             if time.time() - time_start >= p.time_sec_limit:
                 info.time_limit = True
-                break
-
-            # ---- rank escalation request (host decides; caller rebuilds) ----
-            if rank_flag >= rank_thresh and not is_rank_max:
-                if mode == "reopt" and len(self.cones) > 10:
-                    pass
-                elif k - last_outer_start >= 2:
-                    info.rank_flag = rank_flag
-                    info.outer_iter = k
-                    return carry, info
-
-        info.rank_flag = 0
-        carry = self._metrics_j(carry)
-        return carry, info
+                return carry, info
 
 
 def make_alm_carry(

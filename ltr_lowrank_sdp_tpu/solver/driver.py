@@ -153,8 +153,9 @@ def solve(
     time_limit = False
     num_err = False
 
-    def alm_record(c, k, inner):
-        logger.record_alm(c, k, inner, time.time() - t0)
+    def alm_record(row, k, inner, grams):
+        logger.record_alm_row(row, k, inner, grams, sum(rank_state.ranks),
+                              time.time() - t0)
 
     # =================== Phase I: ALM with rank escalation ============== #
     last_outer_start = 1
@@ -216,8 +217,11 @@ def solve(
         pinf_l1=carry.pinf_l1, pinf_inf=carry.pinf_inf, gap=carry.gap,
     )
 
-    def admm_record(c, it, cg):
-        logger.record_admm(c, it, cg, admm_rho, time.time() - t0)
+    curr_rank_total = sum(rank_state.ranks)
+
+    def admm_record(stat_row, grams, it):
+        logger.record_admm_row(stat_row, grams, it, sum(rank_state.ranks),
+                               prob.n_cones, time.time() - t0)
 
     admm_bad_iter = False
     if not time_limit and not num_err:

@@ -62,6 +62,26 @@ class TrajectoryLogger:
 
     # ------------------------------------------------------------------ #
 
+    def oracle_from_grams(self, grams) -> int:
+        """Total oracle rank from per-cone r x r Gram matrices.
+
+        Reference eigenvalue-count rule (``count_significant_from_matrix``):
+        #eigs > eps * lambda_max.  Gram matrices arrive from the device as
+        tiny arrays; eigendecomposition runs on the host.
+        """
+        if self.params.disable_oracle:
+            return 0
+        import numpy as np
+
+        eps = self.params.oracle_eps
+        total = 0
+        for g in grams:
+            evals = np.linalg.eigvalsh(np.asarray(g, np.float64))
+            lam = evals[-1]
+            if lam > 0:
+                total += int(np.sum(evals > eps * lam))
+        return total
+
     def oracle_rank(self, factors, phase: int, avg_with=None) -> int:
         """Total oracle rank across cones (phase 1: R; phase 2: (U+V)/2)."""
         if self.params.disable_oracle:
@@ -76,36 +96,42 @@ class TrajectoryLogger:
                 total += int(oracle_rank_gram(g, eps))
         return total
 
-    def record_alm(self, carry, outer_iter, inner_iter, phase_time):
-        curr = sum(int(r.shape[1]) for r in carry.R)
-        oracle = self.oracle_rank(carry.R, 1)
-        self.phase1_curr.append(curr)
+    def record_alm_row(self, stat_row, outer_iter, inner_iter, grams,
+                       curr_rank, phase_time):
+        """One ALM outer iteration from the fused-phase stats buffer.
+
+        stat_row layout: [code k inner rank_flag pobj dobj pinf_l1 pinf_inf
+        gap rho] + flattened Gram matrices (already split into ``grams``)."""
+        oracle = self.oracle_from_grams(grams)
+        self.phase1_curr.append(curr_rank)
         self.phase1_oracle.append(oracle)
         self.log(
             "ALM OuterIter:%d InnerIter:%d pObj:%5.5e dObj:%5.5e "
             "pInfea(1):%5.5e pInfea(Inf):%5.5e pdGap:%5.5e rho:%3.2f "
             "CurrRank:%d OracleRank:%d Time:%3.2f\n"
             % (
-                outer_iter, inner_iter, float(carry.pobj), float(carry.dobj),
-                float(carry.pinf_l1), float(carry.pinf_inf),
-                float(carry.gap), float(carry.rho), curr, oracle, phase_time,
+                outer_iter, inner_iter, stat_row[4], stat_row[5],
+                stat_row[6], stat_row[7], stat_row[8], stat_row[9],
+                curr_rank, oracle, phase_time,
             )
         )
 
-    def record_admm(self, carry, it, cg_iter, rho, phase_time):
-        curr = sum(int(u.shape[1]) for u in carry.U)
-        oracle = self.oracle_rank(carry.U, 2, avg_with=carry.V)
-        self.phase2_curr.append(curr)
+    def record_admm_row(self, stat_row, grams, it, curr_rank, nblk,
+                        phase_time):
+        """One ADMM iteration from the chunked stats buffer.
+
+        stat_row = [pobj dobj pinf_l1 pinf_inf gap rho cg_iters]."""
+        oracle = self.oracle_from_grams(grams)
+        self.phase2_curr.append(curr_rank)
         self.phase2_oracle.append(oracle)
-        nblk = max(1, len(carry.U))
         self.log(
             "ADMM Iter:%d pObj:%5.5e dObj:%5.5e pInfea(1):%5.5e "
             "pInfea(Inf):%5.5e pdGap:%5.5e rho:%3.2f cgIter:%d CurrRank:%d "
             "OracleRank:%d Time:%3.2f\n"
             % (
-                it, float(carry.pobj), float(carry.dobj),
-                float(carry.pinf_l1), float(carry.pinf_inf), float(carry.gap),
-                rho, cg_iter // nblk, curr, oracle, phase_time,
+                it, stat_row[0], stat_row[1], stat_row[2], stat_row[3],
+                stat_row[4], stat_row[5], int(stat_row[6]) // max(1, nblk),
+                curr_rank, oracle, phase_time,
             )
         )
 
