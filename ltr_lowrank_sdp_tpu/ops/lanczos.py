@@ -72,6 +72,53 @@ def lanczos_min_eig(
     return float(np.linalg.eigvalsh(T)[0])
 
 
+def lanczos_min_eig_vec(matvec, n: int, key, num_iters: int = 64,
+                        dtype=jnp.float64):
+    """Minimum eigenvalue AND Ritz vector (for HALLaR escape directions).
+
+    Same Lanczos recurrence as :func:`lanczos_min_eig` but the basis is kept
+    and combined with the tridiagonal eigenvector on the host.
+    """
+    import numpy as np
+
+    k = min(num_iters, n)
+    v0 = jax.random.normal(key, (n,), dtype)
+    v0 = v0 / jnp.linalg.norm(v0)
+
+    V = jnp.zeros((k, n), dtype).at[0].set(v0)
+    alphas = jnp.zeros((k,), dtype)
+    betas = jnp.zeros((k,), dtype)
+
+    def body(j, carry):
+        V, alphas, betas = carry
+        v = V[j]
+        w = matvec(v)
+        alpha = jnp.vdot(v, w)
+        w = w - alpha * v
+        mask = (jnp.arange(k) <= j)[:, None].astype(dtype)
+        coeffs = (V * mask) @ w
+        w = w - (coeffs[None, :] @ (V * mask))[0]
+        beta = jnp.linalg.norm(w)
+        safe = jnp.where(beta > 1e-30, beta, 1.0)
+        vnext = w / safe
+        V = jax.lax.cond(j + 1 < k, lambda V: V.at[j + 1].set(vnext),
+                         lambda V: V, V)
+        return V, alphas.at[j].set(alpha), betas.at[j].set(beta)
+
+    V, alphas, betas = jax.lax.fori_loop(0, k, body, (V, alphas, betas))
+
+    a = np.asarray(alphas, np.float64)
+    bta = np.asarray(betas, np.float64)
+    T = np.diag(a) + np.diag(bta[: k - 1], 1) + np.diag(bta[: k - 1], -1)
+    evals, evecs = np.linalg.eigh(T)
+    lam = float(evals[0])
+    ritz = np.asarray(V, np.float64).T @ evecs[:, 0]
+    nrm = np.linalg.norm(ritz)
+    if nrm > 0:
+        ritz = ritz / nrm
+    return lam, ritz
+
+
 def oracle_rank_gram(factor, eps: float = 1e-6) -> int:
     """Numerical rank of X = F F^T via the r x r Gram matrix spectrum.
 
