@@ -96,8 +96,30 @@ def _dedupe_sum(rows, cols, vals, extra=None):
     return rows[idx], cols[idx], summed, extra[idx]
 
 
-def read_sdpa(path: str | os.PathLike) -> SDPAData:
-    """Parse an SDPA sparse (.dat-s) file."""
+def read_sdpa(path: str | os.PathLike, use_native: bool = True) -> SDPAData:
+    """Parse an SDPA sparse (.dat-s) file.
+
+    Uses the native C++ streaming parser when built (10-50x faster on large
+    instances); falls back to the vectorized Python tokenizer.  Both share
+    the same canonicalization (negation / triangle swap / dedup)."""
+    if use_native:
+        try:
+            from .native import parse_raw
+
+            raw = parse_raw(str(path))
+        except Exception:
+            raw = None
+        if raw is not None:
+            dims_arr, n_lp, b, cid, blk, row, col, val = raw
+            return _postprocess(
+                [int(x) for x in dims_arr], n_lp, b,
+                cid.astype(np.int64), blk.astype(np.int64),
+                row.astype(np.int64), col.astype(np.int64), val,
+            )
+    return _read_sdpa_python(path)
+
+
+def _read_sdpa_python(path: str | os.PathLike) -> SDPAData:
     with open(path, "r") as f:
         text = f.read()
 
@@ -150,6 +172,13 @@ def read_sdpa(path: str | os.PathLike) -> SDPAData:
     row = ent[:, 2].astype(np.int64) - 1
     col = ent[:, 3].astype(np.int64) - 1
     val = ent[:, 4]
+    return _postprocess(dims, n_lp_cols, b, cid, blk, row, col, val)
+
+
+def _postprocess(dims, n_lp_cols, b, cid, blk, row, col, val) -> SDPAData:
+    """Shared canonicalization for both parser backends."""
+    m = b.size
+    n_blocks = len(dims)
 
     tiny = np.abs(val) < TINY_ENTRY
     if tiny.any():
