@@ -16,10 +16,24 @@ through :class:`~ltr_lowrank_sdp_tpu.config.SolverParams`.
 
 import os as _os
 
-if _os.environ.get("LORADS_TPU_NO_X64", "0") != "1":
-    import jax as _jax
+import jax as _jax
 
+if _os.environ.get("LORADS_TPU_NO_X64", "0") != "1":
     _jax.config.update("jax_enable_x64", True)
+
+# Persistent XLA compilation cache: first compiles through the remote-TPU
+# tunnel are slow (minutes for the fused phase executables); caching them on
+# disk makes subsequent processes start hot.
+if _os.environ.get("LORADS_TPU_NO_COMPILE_CACHE", "0") != "1":
+    _cache_dir = _os.environ.get(
+        "LORADS_TPU_COMPILE_CACHE", _os.path.expanduser("~/.lorads_jax_cache")
+    )
+    try:
+        _os.makedirs(_cache_dir, exist_ok=True)
+        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # pragma: no cover - cache is best-effort
+        pass
 
 from .config import SolverParams  # noqa: E402,F401
 from .problem import SDPProblem  # noqa: E402,F401
