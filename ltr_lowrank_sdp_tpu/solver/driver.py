@@ -14,6 +14,11 @@ Mirrors the reference's ``main.c:370-645`` pipeline:
 6. dual-infeasibility certification by Lanczos min-eig of the slack
    S = obj_scale*C - A*(lambda) (TPU-native ARPACK replacement),
 7. status classification + trajectory JSON.
+
+:class:`Solver` caches compiled phase executables per rank signature; reuse
+one instance across repeated solves of the same problem (benchmark loops,
+schedule comparisons) to avoid re-tracing.  Host scalar readbacks are
+batched (each readback through a remote-TPU tunnel costs 10-100 ms).
 """
 
 from __future__ import annotations
@@ -35,6 +40,12 @@ from .admm import ADMMPhase
 from .common import ProblemConsts, init_factors
 from .logging import TrajectoryLogger
 from .rank import RankState, make_rank_state, pad_factor_tuple
+
+
+def _fetch(*xs) -> List[float]:
+    """Batch scalar device->host reads into a single transfer."""
+    vals = np.asarray(jnp.stack([jnp.asarray(x) for x in xs]))
+    return [float(v) for v in vals]
 
 
 @dataclasses.dataclass
@@ -63,15 +74,13 @@ class SolveResult:
         )
 
 
-class _Solver:
-    """One solve: owns the phase caches and the mutable run state."""
+class Solver:
+    """Reusable solver: owns cone ops and compiled-phase caches."""
 
-    def __init__(self, prob: SDPProblem, params: SolverParams,
-                 logger: TrajectoryLogger):
+    def __init__(self, prob: SDPProblem, params: Optional[SolverParams] = None):
         self.prob = prob
-        self.params = params
-        self.logger = logger
-        dtype = jnp.dtype(params.dtype)
+        self.params = params or SolverParams()
+        dtype = jnp.dtype(self.params.dtype)
         self.dtype = dtype
         self.cones, self.lp = build_cone_ops(prob, dtype)
         self.consts = ProblemConsts.from_problem(prob)
@@ -91,7 +100,7 @@ class _Solver:
 
     # ------------------------------------------------------------------ #
 
-    def dual_infeasibility(self, dual, obj_scale) -> float:
+    def dual_infeasibility(self, dual, obj_scale: float) -> float:
         """l1 dual infeasibility via Lanczos min-eig of each slack block
         (``calculate_dual_infeasibility_solver``, ``lorads_solver.c:1396``)."""
         neg_lam = -dual
@@ -104,15 +113,278 @@ class _Solver:
                 return out[:, 0]
 
             k = min(max(32, 2 * int(np.sqrt(ops.n)) + 20), 100)
-            lam_min = float(lanczos_min_eig(mv, ops.n, jax.random.fold_in(key, i),
-                                            num_iters=k, dtype=self.dtype))
+            lam_min = float(lanczos_min_eig(
+                mv, ops.n, jax.random.fold_in(key, i), num_iters=k,
+                dtype=self.dtype))
             total += abs(min(lam_min, 0.0))
         if self.lp is not None:
             colw = self.lp.weighted_col_sums(neg_lam, obj_coef=obj_scale)
             total += float(jnp.sum(jnp.abs(jnp.minimum(colw, 0.0))))
-        total /= float(obj_scale)
+        total /= obj_scale
         total /= self.consts.c_nrm1 + 1.0
         return total
+
+    # ------------------------------------------------------------------ #
+
+    def solve(self, logger: Optional[TrajectoryLogger] = None,
+              json_path: Optional[str] = None) -> SolveResult:
+        prob, params, dtype = self.prob, self.params, self.dtype
+        if logger is None:
+            logger = TrajectoryLogger(params, problem_name=prob.name,
+                                      verbose=False)
+        logger.open()
+        t0 = time.time()
+
+        rank_state = make_rank_state(prob, params)
+        dims = prob.block_dims
+
+        R, rlp = init_factors(rank_state.ranks, dims, prob.n_lp_cols,
+                              jax.random.PRNGKey(params.seed), dtype)
+        rho0 = (1.0 / np.sqrt(sum(dims))
+                if params.init_rho == 0 else params.init_rho)
+
+        alm, admm = self.phases(rank_state.ranks)
+        carry = make_alm_carry(R, rlp, prob.m, alm.n_elems, rho0, params,
+                               dtype)
+
+        alm_outer = 0
+        alm_inner_total = 0
+        admm_it = 0
+        cg_total = 0
+        rho_max_cur = params.rho_max
+        time_limit = False
+        num_err = False
+
+        def alm_record(row, k, inner, grams):
+            logger.record_alm_row(row, k, inner, grams,
+                                  sum(rank_state.ranks), time.time() - t0)
+
+        def admm_record(stat_row, grams, it):
+            logger.record_admm_row(stat_row, grams, it,
+                                   sum(rank_state.ranks), prob.n_cones,
+                                   time.time() - t0)
+
+        # =============== Phase I: ALM with rank escalation ============== #
+        last_outer_start = 1
+        while True:
+            carry, info = alm.run(
+                carry, alm_outer, t0, mode="main",
+                is_rank_max=rank_state.is_rank_max,
+                record_cb=alm_record,
+                last_outer_start=last_outer_start,
+                rank_thresh=rank_state.stall_threshold(params),
+            )
+            alm_outer = info.outer_iter
+            alm_inner_total += info.inner_iter
+            if info.num_err:
+                num_err = True
+                logger.log("*Numerical Fail in ALM; continuing with best "
+                           "iterate\n")
+                break
+            if info.time_limit:
+                time_limit = True
+                break
+            if info.rank_flag and not rank_state.is_rank_max:
+                changed = rank_state.escalate(params.rank_update_factor)
+                if not changed:
+                    break
+                logger.log(f"increase the rank -> {rank_state.ranks}\n")
+                R_new = pad_factor_tuple(carry.R, rank_state.ranks)
+                rho_now, scale_now = _fetch(carry.rho, carry.obj_scale)
+                alm, admm = self.phases(rank_state.ranks)
+                carry = make_alm_carry(
+                    R_new, carry.rlp, prob.m, alm.n_elems, rho_now,
+                    params, dtype, dual=carry.dual, obj_scale=scale_now,
+                )
+                last_outer_start = alm_outer
+                continue
+            break
+
+        if time.time() - t0 > params.time_sec_limit:
+            time_limit = True
+
+        # =============== handoff + Phase II: ADMM ======================= #
+        alm_rho, obj_scale_now = _fetch(carry.rho, carry.obj_scale)
+        admm_rho = alm_rho * params.heuristic_factor
+        if alm_rho > rho_max_cur:
+            admm_rho = min(
+                np.sqrt(max(rho_max_cur, alm_rho) / rho_max_cur)
+                * rho_max_cur, alm_rho)
+            rho_max_cur = admm_rho
+
+        U = tuple(r for r in carry.R)
+        V = tuple(jnp.array(r) for r in carry.R)
+        ulp = carry.rlp
+        vlp = jnp.array(carry.rlp) if carry.rlp is not None else None
+        admm_carry = admm.init_carry(U, V, ulp, vlp, carry.dual,
+                                     obj_scale_now)
+        admm_carry = admm_carry._replace(
+            pinf_l1=carry.pinf_l1, pinf_inf=carry.pinf_inf, gap=carry.gap)
+
+        admm_bad_iter = False
+        if not time_limit and not num_err:
+            admm_carry, admm_rho, admm_it, ainfo = admm.run(
+                admm_carry, admm_rho, 0, params.max_admm_iter, t0,
+                mode="main", record_cb=admm_record, rho_max=rho_max_cur)
+            cg_total += ainfo.cg_iters_total
+            admm_bad_iter = ainfo.bad_iter
+            time_limit = time_limit or ainfo.time_limit
+            num_err = num_err or ainfo.num_err
+
+        # =============== reopt rounds =================================== #
+        def sync_alm_from_admm(c_alm, c_admm):
+            Ravg = tuple(0.5 * (u + v) for u, v in zip(c_admm.U, c_admm.V))
+            rlp_avg = (0.5 * (c_admm.ulp + c_admm.vlp)
+                       if c_admm.ulp is not None else None)
+            return c_alm._replace(
+                R=Ravg, rlp=rlp_avg, dual=c_admm.dual,
+                obj_scale=c_admm.obj_scale,
+                pinf_l1=c_admm.pinf_l1, pinf_inf=c_admm.pinf_inf,
+                gap=c_admm.gap, pobj=c_admm.pobj, dobj=c_admm.dobj)
+
+        def do_reopt(c_alm, c_admm, reopt_alm_iter, reopt_admm_iter, level):
+            nonlocal alm_outer, alm_inner_total, admm_it, cg_total
+            nonlocal rho_max_cur, admm_rho, admm_bad_iter, time_limit, num_err
+            p = params
+            scale = 5.0
+            c_alm = c_alm._replace(
+                obj_scale=c_alm.obj_scale * scale, dual=c_alm.dual * scale)
+            if admm_rho <= rho_max_cur:
+                c_alm = c_alm._replace(
+                    rho=jnp.maximum(jnp.asarray(admm_rho, dtype), c_alm.rho))
+            max_alm = reopt_alm_iter - 1 + alm_outer
+            carry2, info = alm.run(
+                c_alm, alm_outer, t0, mode="reopt", early_stop=True,
+                rho_update_factor=float(np.sqrt(p.alm_rho_factor)),
+                max_alm_iter=max_alm, record_cb=alm_record,
+                is_rank_max=rank_state.is_rank_max,
+                rank_thresh=rank_state.stall_threshold(params))
+            alm_outer = info.outer_iter
+            alm_inner_total += info.inner_iter
+            num_err = num_err or info.num_err
+            time_limit = time_limit or info.time_limit
+            alm_rho2, scale2 = _fetch(carry2.rho, carry2.obj_scale)
+            rho_max_cur = max(
+                np.sqrt(max(admm_rho, alm_rho2) / admm_rho) * admm_rho,
+                rho_max_cur)
+            U = tuple(r for r in carry2.R)
+            V = tuple(jnp.array(r) for r in carry2.R)
+            ulp2 = carry2.rlp
+            vlp2 = jnp.array(carry2.rlp) if carry2.rlp is not None else None
+            rho2 = alm_rho2 * p.heuristic_factor
+            if alm_rho2 > rho_max_cur:
+                rho2 = min(
+                    np.sqrt(max(rho_max_cur, alm_rho2) / rho_max_cur)
+                    * rho_max_cur, alm_rho2)
+                rho_max_cur = rho2
+            c_admm = admm.init_carry(U, V, ulp2, vlp2, carry2.dual, scale2)
+            if (not admm_bad_iter) or level < 2:
+                ceiling = min(admm_it * 4, admm_it + p.max_admm_iter)
+                ceiling = max(ceiling, admm_it + reopt_admm_iter)
+                c_admm, rho2, admm_it2, ainfo = admm.run(
+                    c_admm, rho2, admm_it, ceiling, t0, mode="reopt",
+                    record_cb=admm_record, rho_max=rho_max_cur)
+                cg_total += ainfo.cg_iters_total
+                admm_bad_iter = ainfo.bad_iter
+                time_limit = time_limit or ainfo.time_limit
+                num_err = num_err or ainfo.num_err
+                admm_it = admm_it2
+            admm_rho = rho2
+            return carry2, c_admm
+
+        p = params
+        alm_reopt_min_iter = 3
+        admm_reopt_min_iter = 1000 if p.high_acc_mode else 50
+
+        if p.reopt_level >= 1 and not time_limit and not num_err:
+            cnt = 0
+            while True:
+                a_gap, a_pinf, d_gap, d_pinf = _fetch(
+                    carry.gap, carry.pinf_l1, admm_carry.gap,
+                    admm_carry.pinf_l1)
+                if not ((a_gap > p.phase2_tol or a_pinf > p.phase2_tol)
+                        and (d_gap > p.phase2_tol or d_pinf > p.phase2_tol)):
+                    break
+                if cnt >= 1:
+                    break
+                carry = sync_alm_from_admm(carry, admm_carry)
+                carry, admm_carry = do_reopt(
+                    carry, admm_carry, alm_reopt_min_iter,
+                    admm_reopt_min_iter, 1)
+                cnt += 1
+                if time.time() - t0 > p.time_sec_limit:
+                    time_limit = True
+                    break
+
+        # dual infeasibility certification
+        scale_now = _fetch(admm_carry.obj_scale)[0]
+        dinf_l1 = self.dual_infeasibility(admm_carry.dual, scale_now)
+        dinf_inf = dinf_l1 * (1 + self.consts.c_nrm1) / (
+            1 + self.consts.c_nrminf)
+
+        if p.reopt_level >= 2 and not time_limit and not num_err:
+            dual_cnt = 0
+            while True:
+                d_gap, d_pinf = _fetch(admm_carry.gap, admm_carry.pinf_l1)
+                if not (dinf_l1 > p.phase2_tol or d_gap > p.phase2_tol
+                        or d_pinf > p.phase2_tol):
+                    break
+                if dual_cnt >= 2:
+                    break
+                if (not p.high_acc_mode
+                        and dinf_l1 <= 5 * p.phase2_tol
+                        and d_gap <= 5 * p.phase2_tol
+                        and d_pinf <= p.phase2_tol):
+                    break
+                carry = sync_alm_from_admm(carry, admm_carry)
+                carry, admm_carry = do_reopt(carry, admm_carry, 3, 50, 2)
+                Ravg = tuple(0.5 * (u + v)
+                             for u, v in zip(admm_carry.U, admm_carry.V))
+                admm_carry = admm_carry._replace(U=Ravg, V=Ravg)
+                if admm_carry.ulp is not None:
+                    lp_avg = 0.5 * (admm_carry.ulp + admm_carry.vlp)
+                    admm_carry = admm_carry._replace(ulp=lp_avg, vlp=lp_avg)
+                admm_carry = admm._metrics_j(admm_carry)
+                scale_now = _fetch(admm_carry.obj_scale)[0]
+                dinf_l1 = self.dual_infeasibility(admm_carry.dual, scale_now)
+                dinf_inf = dinf_l1 * (1 + self.consts.c_nrm1) / (
+                    1 + self.consts.c_nrminf)
+                dual_cnt += 1
+                if time.time() - t0 > p.time_sec_limit:
+                    time_limit = True
+                    break
+
+        # =============== status + outputs =============================== #
+        gap, pinf_l1, pinf_inf, pobj, dobj = _fetch(
+            admm_carry.gap, admm_carry.pinf_l1, admm_carry.pinf_inf,
+            admm_carry.pobj, admm_carry.dobj)
+
+        if dinf_l1 <= 5 * p.phase2_tol and gap <= 5 * p.phase2_tol and \
+                pinf_l1 <= p.phase2_tol:
+            status = SolverStatus.PRIMAL_DUAL_OPTIMAL
+        elif gap <= 5 * p.phase2_tol and pinf_l1 <= p.phase2_tol:
+            status = SolverStatus.PRIMAL_OPTIMAL
+        else:
+            status = SolverStatus.MAXITER
+        if time_limit:
+            status = SolverStatus.TIME_LIMIT
+
+        solve_time = time.time() - t0
+        oracle = logger.oracle_rank(admm_carry.U, 2, avg_with=admm_carry.V)
+
+        if json_path:
+            logger.write_json(
+                json_path, oracle, pobj, dobj, pinf_l1, pinf_inf, gap,
+                solve_time, rho_max_cur, p.heuristic_factor)
+        logger.close()
+
+        return SolveResult(
+            status=status, pobj=pobj, dobj=dobj, pinf_l1=pinf_l1,
+            pinf_inf=pinf_inf, gap=gap, dinf_l1=dinf_l1, dinf_inf=dinf_inf,
+            solve_time=solve_time, alm_outer_iters=alm_outer,
+            alm_inner_iters=alm_inner_total, admm_iters=admm_it,
+            cg_iters=cg_total, final_ranks=list(rank_state.ranks),
+            oracle_rank=oracle, logger=logger)
 
 
 def solve(
@@ -121,290 +393,6 @@ def solve(
     logger: Optional[TrajectoryLogger] = None,
     json_path: Optional[str] = None,
 ) -> SolveResult:
-    params = params or SolverParams()
-    if logger is None:
-        logger = TrajectoryLogger(params, problem_name=prob.name,
-                                  verbose=False)
-    logger.open()
-    t0 = time.time()
-
-    sv = _Solver(prob, params, logger)
-    dtype = sv.dtype
-    rank_state = make_rank_state(prob, params)
-    dims = prob.block_dims
-
-    # ---- initial variables + state (initial_solver_state) ----
-    R, rlp = init_factors(rank_state.ranks, dims, prob.n_lp_cols,
-                          jax.random.PRNGKey(params.seed), dtype)
-    if params.init_rho == 0:
-        rho0 = 1.0 / np.sqrt(sum(dims))
-    else:
-        rho0 = params.init_rho
-
-    alm, admm = sv.phases(rank_state.ranks)
-    carry = make_alm_carry(R, rlp, prob.m, alm.n_elems, rho0, params, dtype)
-
-    alm_outer = 0
-    alm_inner_total = 0
-    admm_it = 0
-    cg_total = 0
-    rho_max_cur = params.rho_max
-    status = SolverStatus.UNKNOWN
-    time_limit = False
-    num_err = False
-
-    def alm_record(row, k, inner, grams):
-        logger.record_alm_row(row, k, inner, grams, sum(rank_state.ranks),
-                              time.time() - t0)
-
-    # =================== Phase I: ALM with rank escalation ============== #
-    last_outer_start = 1
-    while True:
-        carry, info = alm.run(
-            carry, alm_outer, t0, mode="main",
-            is_rank_max=rank_state.is_rank_max,
-            record_cb=alm_record,
-            last_outer_start=last_outer_start,
-            rank_thresh=rank_state.stall_threshold(params),
-        )
-        alm_outer = info.outer_iter
-        alm_inner_total += info.inner_iter
-        if info.num_err:
-            num_err = True
-            logger.log("*Numerical Fail in ALM; continuing with best iterate\n")
-            break
-        if info.time_limit:
-            time_limit = True
-            break
-        if info.rank_flag and not rank_state.is_rank_max:
-            changed = rank_state.escalate(params.rank_update_factor)
-            if not changed:
-                break
-            logger.log(
-                f"increase the rank -> {rank_state.ranks}\n"
-            )
-            R_new = pad_factor_tuple(carry.R, rank_state.ranks)
-            alm, admm = sv.phases(rank_state.ranks)
-            carry = make_alm_carry(
-                R_new, carry.rlp, prob.m, alm.n_elems, float(carry.rho),
-                params, dtype, dual=carry.dual,
-                obj_scale=float(carry.obj_scale),
-            )
-            last_outer_start = alm_outer
-            continue
-        break
-
-    if time.time() - t0 > params.time_sec_limit:
-        time_limit = True
-
-    # =================== handoff + Phase II: ADMM ======================= #
-    alm_rho = float(carry.rho)
-    admm_rho = alm_rho * params.heuristic_factor
-    if alm_rho > rho_max_cur:
-        admm_rho = min(
-            np.sqrt(max(rho_max_cur, alm_rho) / rho_max_cur) * rho_max_cur,
-            alm_rho,
-        )
-        rho_max_cur = admm_rho
-
-    U = tuple(r for r in carry.R)
-    V = tuple(jnp.array(r) for r in carry.R)
-    ulp = carry.rlp
-    vlp = jnp.array(carry.rlp) if carry.rlp is not None else None
-    admm_carry = admm.init_carry(U, V, ulp, vlp, carry.dual,
-                                 float(carry.obj_scale))
-    admm_carry = admm_carry._replace(
-        pinf_l1=carry.pinf_l1, pinf_inf=carry.pinf_inf, gap=carry.gap,
-    )
-
-    curr_rank_total = sum(rank_state.ranks)
-
-    def admm_record(stat_row, grams, it):
-        logger.record_admm_row(stat_row, grams, it, sum(rank_state.ranks),
-                               prob.n_cones, time.time() - t0)
-
-    admm_bad_iter = False
-    if not time_limit and not num_err:
-        admm_carry, admm_rho, admm_it, ainfo = admm.run(
-            admm_carry, admm_rho, 0, params.max_admm_iter, t0,
-            mode="main", record_cb=admm_record, rho_max=rho_max_cur,
-        )
-        cg_total += ainfo.cg_iters_total
-        admm_bad_iter = ainfo.bad_iter
-        time_limit = time_limit or ainfo.time_limit
-        num_err = num_err or ainfo.num_err
-
-    # =================== reopt rounds =================================== #
-    def sync_alm_from_admm(c_alm, c_admm):
-        """R <- (U+V)/2, dual, metrics — entering a reopt ALM round."""
-        Ravg = tuple(0.5 * (u + v) for u, v in zip(c_admm.U, c_admm.V))
-        rlp_avg = (
-            0.5 * (c_admm.ulp + c_admm.vlp) if c_admm.ulp is not None else None
-        )
-        return c_alm._replace(
-            R=Ravg, rlp=rlp_avg, dual=c_admm.dual,
-            obj_scale=c_admm.obj_scale,
-            pinf_l1=c_admm.pinf_l1, pinf_inf=c_admm.pinf_inf,
-            gap=c_admm.gap, pobj=c_admm.pobj, dobj=c_admm.dobj,
-        )
-
-    def do_reopt(c_alm, c_admm, reopt_alm_iter, reopt_admm_iter, level):
-        nonlocal alm_outer, alm_inner_total, admm_it, cg_total
-        nonlocal rho_max_cur, admm_rho, admm_bad_iter, time_limit, num_err
-        p = params
-        # objective rescaling (objScale_dualvar)
-        scale = 5.0
-        c_alm = c_alm._replace(
-            obj_scale=c_alm.obj_scale * scale, dual=c_alm.dual * scale,
-        )
-        if admm_rho <= rho_max_cur:
-            c_alm = c_alm._replace(
-                rho=jnp.maximum(jnp.asarray(admm_rho, dtype), c_alm.rho)
-            )
-        max_alm = reopt_alm_iter - 1 + alm_outer
-        carry2, info = alm.run(
-            c_alm, alm_outer, t0, mode="reopt", early_stop=True,
-            rho_update_factor=float(np.sqrt(p.alm_rho_factor)),
-            max_alm_iter=max_alm, record_cb=alm_record,
-            is_rank_max=rank_state.is_rank_max,
-            rank_thresh=rank_state.stall_threshold(params),
-        )
-        alm_outer = info.outer_iter
-        alm_inner_total += info.inner_iter
-        num_err = num_err or info.num_err
-        time_limit = time_limit or info.time_limit
-        rho_max_cur = max(
-            np.sqrt(max(admm_rho, float(carry2.rho)) / admm_rho) * admm_rho,
-            rho_max_cur,
-        )
-        # handoff
-        U = tuple(r for r in carry2.R)
-        V = tuple(jnp.array(r) for r in carry2.R)
-        ulp2 = carry2.rlp
-        vlp2 = jnp.array(carry2.rlp) if carry2.rlp is not None else None
-        alm_rho2 = float(carry2.rho)
-        rho2 = alm_rho2 * p.heuristic_factor
-        if alm_rho2 > rho_max_cur:
-            rho2 = min(
-                np.sqrt(max(rho_max_cur, alm_rho2) / rho_max_cur) * rho_max_cur,
-                alm_rho2,
-            )
-            rho_max_cur = rho2
-        c_admm = admm.init_carry(U, V, ulp2, vlp2, carry2.dual,
-                                 float(carry2.obj_scale))
-        if (not admm_bad_iter) or level < 2:
-            ceiling = min(admm_it * 4, admm_it + p.max_admm_iter)
-            ceiling = max(ceiling, admm_it + reopt_admm_iter)
-            c_admm, rho2, admm_it2, ainfo = admm.run(
-                c_admm, rho2, admm_it, ceiling, t0, mode="reopt",
-                record_cb=admm_record, rho_max=rho_max_cur,
-            )
-            cg_total += ainfo.cg_iters_total
-            admm_bad_iter = ainfo.bad_iter
-            time_limit = time_limit or ainfo.time_limit
-            num_err = num_err or ainfo.num_err
-            admm_it = admm_it2
-        admm_rho = rho2
-        return carry2, c_admm
-
-    p = params
-    alm_reopt_min_iter = 3
-    admm_reopt_min_iter = 1000 if p.high_acc_mode else 50
-
-    if p.reopt_level >= 1 and not time_limit and not num_err:
-        cnt = 0
-        while (
-            (float(carry.gap) > p.phase2_tol
-             or float(carry.pinf_l1) > p.phase2_tol)
-            and (float(admm_carry.gap) > p.phase2_tol
-                 or float(admm_carry.pinf_l1) > p.phase2_tol)
-        ):
-            if cnt >= 1:
-                break
-            carry = sync_alm_from_admm(carry, admm_carry)
-            carry, admm_carry = do_reopt(
-                carry, admm_carry, alm_reopt_min_iter, admm_reopt_min_iter, 1
-            )
-            cnt += 1
-            if time.time() - t0 > p.time_sec_limit:
-                time_limit = True
-                break
-
-    # dual infeasibility certification
-    dinf_l1 = sv.dual_infeasibility(admm_carry.dual,
-                                    float(admm_carry.obj_scale))
-    dinf_inf = dinf_l1 * (1 + sv.consts.c_nrm1) / (1 + sv.consts.c_nrminf)
-
-    if p.reopt_level >= 2 and not time_limit and not num_err:
-        dual_cnt = 0
-        while (
-            dinf_l1 > p.phase2_tol
-            or float(admm_carry.gap) > p.phase2_tol
-            or float(admm_carry.pinf_l1) > p.phase2_tol
-        ):
-            if dual_cnt >= 2:
-                break
-            if (
-                not p.high_acc_mode
-                and dinf_l1 <= 5 * p.phase2_tol
-                and float(admm_carry.gap) <= 5 * p.phase2_tol
-                and float(admm_carry.pinf_l1) <= p.phase2_tol
-            ):
-                break
-            carry = sync_alm_from_admm(carry, admm_carry)
-            carry, admm_carry = do_reopt(
-                carry, admm_carry, 3, 50, 2
-            )
-            # average U,V into both (main.c:544-563)
-            Ravg = tuple(0.5 * (u + v)
-                         for u, v in zip(admm_carry.U, admm_carry.V))
-            admm_carry = admm_carry._replace(U=Ravg, V=Ravg)
-            if admm_carry.ulp is not None:
-                lp_avg = 0.5 * (admm_carry.ulp + admm_carry.vlp)
-                admm_carry = admm_carry._replace(ulp=lp_avg, vlp=lp_avg)
-            admm_carry = admm._metrics_j(admm_carry)
-            dinf_l1 = sv.dual_infeasibility(admm_carry.dual,
-                                            float(admm_carry.obj_scale))
-            dinf_inf = dinf_l1 * (1 + sv.consts.c_nrm1) / (
-                1 + sv.consts.c_nrminf
-            )
-            dual_cnt += 1
-            if time.time() - t0 > p.time_sec_limit:
-                time_limit = True
-                break
-
-    # =================== status + outputs =============================== #
-    gap = float(admm_carry.gap)
-    pinf_l1 = float(admm_carry.pinf_l1)
-    pinf_inf = float(admm_carry.pinf_inf)
-    pobj = float(admm_carry.pobj)
-    dobj = float(admm_carry.dobj)
-
-    if dinf_l1 <= 5 * p.phase2_tol and gap <= 5 * p.phase2_tol and \
-            pinf_l1 <= p.phase2_tol:
-        status = SolverStatus.PRIMAL_DUAL_OPTIMAL
-    elif gap <= 5 * p.phase2_tol and pinf_l1 <= p.phase2_tol:
-        status = SolverStatus.PRIMAL_OPTIMAL
-    else:
-        status = SolverStatus.MAXITER
-    if time_limit:
-        status = SolverStatus.TIME_LIMIT
-
-    solve_time = time.time() - t0
-    oracle = logger.oracle_rank(admm_carry.U, 2, avg_with=admm_carry.V)
-
-    if json_path:
-        logger.write_json(
-            json_path, oracle, pobj, dobj, pinf_l1, pinf_inf, gap,
-            solve_time, rho_max_cur, p.heuristic_factor,
-        )
-    logger.close()
-
-    return SolveResult(
-        status=status, pobj=pobj, dobj=dobj, pinf_l1=pinf_l1,
-        pinf_inf=pinf_inf, gap=gap, dinf_l1=dinf_l1, dinf_inf=dinf_inf,
-        solve_time=solve_time, alm_outer_iters=alm_outer,
-        alm_inner_iters=alm_inner_total, admm_iters=admm_it,
-        cg_iters=cg_total, final_ranks=list(rank_state.ranks),
-        oracle_rank=oracle, logger=logger,
-    )
+    """One-shot convenience wrapper; for repeated solves build a
+    :class:`Solver` once and call ``.solve()``."""
+    return Solver(prob, params).solve(logger=logger, json_path=json_path)
