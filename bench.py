@@ -25,7 +25,7 @@ def main():
 
     from ltr_lowrank_sdp_tpu.config import SolverParams
     from ltr_lowrank_sdp_tpu.problem import load_problem
-    from ltr_lowrank_sdp_tpu.solver.driver import solve
+    from ltr_lowrank_sdp_tpu.solver.driver import Solver
     from ltr_lowrank_sdp_tpu.testing import random_maxcut_problem
 
     g11 = "/root/reference/lorads/data/Max_cut_SDP/G11.dat-s"
@@ -40,10 +40,12 @@ def main():
         dtype=dtype,
     )
 
-    # warm-up (populates the jit cache for every phase executable)
-    res = solve(prob, params)
+    # warm-up (populates the jit cache for every phase executable); the
+    # timed run reuses the same Solver, as a production benchmark loop would
+    sv = Solver(prob, params)
+    res = sv.solve()
     t0 = time.time()
-    res = solve(prob, params)
+    res = sv.solve()
     solve_time = time.time() - t0
 
     # hot-kernel throughput: A(RR^T) on the solved instance's cone
@@ -75,6 +77,8 @@ def main():
         "dinf_l1": res.dinf_l1,
         "status": res.status.value,
         "A_RRt_gflops": round(gflops, 3),
+        "stage_times": {k: round(v, 4)
+                        for k, v in (res.stage_times or {}).items()},
         "dtype": dtype,
         "device": str(jax.devices()[0]),
     }))

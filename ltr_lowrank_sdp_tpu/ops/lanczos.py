@@ -20,17 +20,19 @@ import jax
 import jax.numpy as jnp
 
 
-def lanczos_min_eig(
+def lanczos_tridiag(
     matvec: Callable,
     n: int,
     key,
     num_iters: int = 64,
     dtype=jnp.float64,
 ):
-    """Estimate the minimum eigenvalue of the symmetric operator ``matvec``.
+    """Lanczos recurrence with full reorthogonalization — jit-friendly.
 
-    Runs min(num_iters, n) Lanczos steps with full reorthogonalization
-    against the stored basis; returns the smallest Ritz value.
+    Returns ``(alphas, betas)`` of the k x k tridiagonal projection as device
+    arrays.  Call this *inside* jit (the caller closes over the operator) so
+    the whole recurrence is one dispatch; eigendecompose the tiny tridiagonal
+    on the host with :func:`tridiag_min_eig`.
     """
     k = min(num_iters, n)
     v0 = jax.random.normal(key, (n,), dtype)
@@ -61,15 +63,36 @@ def lanczos_min_eig(
         return V, alphas.at[j].set(alpha), betas.at[j].set(beta)
 
     V, alphas, betas = jax.lax.fori_loop(0, k, body, (V, alphas, betas))
+    return alphas, betas
 
-    # the k x k tridiagonal eig is negligible -> host numpy (portable across
-    # TPU dtypes; avoids device eigh support issues in emulated f64)
+
+def tridiag_min_eig(alphas, betas) -> float:
+    """Smallest eigenvalue of the tridiagonal (k x k — host numpy; portable
+    across TPU dtypes and avoids device eigh in emulated f64)."""
     import numpy as np
 
     a = np.asarray(alphas, np.float64)
     bta = np.asarray(betas, np.float64)
+    k = a.shape[0]
     T = np.diag(a) + np.diag(bta[: k - 1], 1) + np.diag(bta[: k - 1], -1)
     return float(np.linalg.eigvalsh(T)[0])
+
+
+def lanczos_min_eig(
+    matvec: Callable,
+    n: int,
+    key,
+    num_iters: int = 64,
+    dtype=jnp.float64,
+):
+    """Estimate the minimum eigenvalue of the symmetric operator ``matvec``.
+
+    Convenience eager wrapper around :func:`lanczos_tridiag` +
+    :func:`tridiag_min_eig`.  Hot callers should jit the recurrence
+    themselves (one dispatch) and only bring the k-vectors to the host.
+    """
+    alphas, betas = lanczos_tridiag(matvec, n, key, num_iters, dtype)
+    return tridiag_min_eig(alphas, betas)
 
 
 def lanczos_min_eig_vec(matvec, n: int, key, num_iters: int = 64,

@@ -33,7 +33,7 @@ import numpy as np
 
 from ..config import SolverParams, SolverStatus
 from ..ops.coneops import build_cone_ops
-from ..ops.lanczos import lanczos_min_eig
+from ..ops.lanczos import lanczos_tridiag, tridiag_min_eig
 from ..problem import SDPProblem
 from .alm import ALMPhase, make_alm_carry
 from .admm import ADMMPhase
@@ -66,6 +66,7 @@ class SolveResult:
     final_ranks: List[int]
     oracle_rank: int
     logger: Optional[TrajectoryLogger] = None
+    stage_times: Optional[Dict[str, float]] = None
 
     @property
     def errors_ok(self) -> bool:
@@ -100,26 +101,46 @@ class Solver:
 
     # ------------------------------------------------------------------ #
 
+    def _dinf_j(self):
+        """One jitted executable for the whole dual-infeasibility pass:
+        every cone's Lanczos recurrence (+ LP column sums) in one dispatch;
+        only the k-sized tridiagonal coefficients come back to the host."""
+        if getattr(self, "_dinf_fn", None) is not None:
+            return self._dinf_fn
+
+        cones, lp, dtype = self.cones, self.lp, self.dtype
+
+        def run(neg_lam, obj_scale, key):
+            outs = []
+            for i, ops in enumerate(cones):
+                def mv(y, ops=ops):
+                    out = ops.apply_w(neg_lam, y[:, None],
+                                      obj_coef=obj_scale, include_obj=True)
+                    return out[:, 0]
+
+                k = min(max(32, 2 * int(np.sqrt(ops.n)) + 20), 100)
+                outs.append(lanczos_tridiag(
+                    mv, ops.n, jax.random.fold_in(key, i), num_iters=k,
+                    dtype=dtype))
+            lp_term = (
+                jnp.sum(jnp.abs(jnp.minimum(
+                    lp.weighted_col_sums(neg_lam, obj_coef=obj_scale), 0.0)))
+                if lp is not None else jnp.asarray(0.0, dtype))
+            return outs, lp_term
+
+        self._dinf_fn = jax.jit(run)
+        return self._dinf_fn
+
     def dual_infeasibility(self, dual, obj_scale: float) -> float:
         """l1 dual infeasibility via Lanczos min-eig of each slack block
         (``calculate_dual_infeasibility_solver``, ``lorads_solver.c:1396``)."""
-        neg_lam = -dual
+        outs, lp_term = self._dinf_j()(
+            -dual, jnp.asarray(obj_scale, self.dtype), jax.random.PRNGKey(7))
         total = 0.0
-        key = jax.random.PRNGKey(7)
-        for i, ops in enumerate(self.cones):
-            def mv(y, ops=ops):
-                out = ops.apply_w(neg_lam, y[:, None], obj_coef=obj_scale,
-                                  include_obj=True)
-                return out[:, 0]
-
-            k = min(max(32, 2 * int(np.sqrt(ops.n)) + 20), 100)
-            lam_min = float(lanczos_min_eig(
-                mv, ops.n, jax.random.fold_in(key, i), num_iters=k,
-                dtype=self.dtype))
+        for alphas, betas in outs:
+            lam_min = tridiag_min_eig(alphas, betas)
             total += abs(min(lam_min, 0.0))
-        if self.lp is not None:
-            colw = self.lp.weighted_col_sums(neg_lam, obj_coef=obj_scale)
-            total += float(jnp.sum(jnp.abs(jnp.minimum(colw, 0.0))))
+        total += float(lp_term)
         total /= obj_scale
         total /= self.consts.c_nrm1 + 1.0
         return total
@@ -134,6 +155,14 @@ class Solver:
                                       verbose=False)
         logger.open()
         t0 = time.time()
+
+        stages: Dict[str, float] = {}
+        _last = [time.perf_counter()]
+
+        def mark(name: str) -> None:
+            now = time.perf_counter()
+            stages[name] = stages.get(name, 0.0) + (now - _last[0])
+            _last[0] = now
 
         rank_state = make_rank_state(prob, params)
         dims = prob.block_dims
@@ -202,6 +231,7 @@ class Solver:
 
         if time.time() - t0 > params.time_sec_limit:
             time_limit = True
+        mark("alm")
 
         # =============== handoff + Phase II: ADMM ======================= #
         alm_rho, obj_scale_now = _fetch(carry.rho, carry.obj_scale)
@@ -220,6 +250,7 @@ class Solver:
                                      obj_scale_now)
         admm_carry = admm_carry._replace(
             pinf_l1=carry.pinf_l1, pinf_inf=carry.pinf_inf, gap=carry.gap)
+        mark("handoff")
 
         admm_bad_iter = False
         if not time_limit and not num_err:
@@ -230,6 +261,7 @@ class Solver:
             admm_bad_iter = ainfo.bad_iter
             time_limit = time_limit or ainfo.time_limit
             num_err = num_err or ainfo.num_err
+        mark("admm")
 
         # =============== reopt rounds =================================== #
         def sync_alm_from_admm(c_alm, c_admm):
@@ -316,11 +348,14 @@ class Solver:
                     time_limit = True
                     break
 
+        mark("reopt1")
+
         # dual infeasibility certification
         scale_now = _fetch(admm_carry.obj_scale)[0]
         dinf_l1 = self.dual_infeasibility(admm_carry.dual, scale_now)
         dinf_inf = dinf_l1 * (1 + self.consts.c_nrm1) / (
             1 + self.consts.c_nrminf)
+        mark("dinf")
 
         if p.reopt_level >= 2 and not time_limit and not num_err:
             dual_cnt = 0
@@ -354,6 +389,8 @@ class Solver:
                     time_limit = True
                     break
 
+        mark("reopt2")
+
         # =============== status + outputs =============================== #
         gap, pinf_l1, pinf_inf, pobj, dobj = _fetch(
             admm_carry.gap, admm_carry.pinf_l1, admm_carry.pinf_inf,
@@ -377,6 +414,7 @@ class Solver:
                 json_path, oracle, pobj, dobj, pinf_l1, pinf_inf, gap,
                 solve_time, rho_max_cur, p.heuristic_factor)
         logger.close()
+        mark("outputs")
 
         return SolveResult(
             status=status, pobj=pobj, dobj=dobj, pinf_l1=pinf_l1,
@@ -384,7 +422,7 @@ class Solver:
             solve_time=solve_time, alm_outer_iters=alm_outer,
             alm_inner_iters=alm_inner_total, admm_iters=admm_it,
             cg_iters=cg_total, final_ranks=list(rank_state.ranks),
-            oracle_rank=oracle, logger=logger)
+            oracle_rank=oracle, logger=logger, stage_times=stages)
 
 
 def solve(
