@@ -57,8 +57,8 @@ def build_arg_parser() -> argparse.ArgumentParser:
     ap.add_argument("--nearStallFactor", type=float, default=0.7)
     ap.add_argument("--disableOracle", action="store_true")
     # TPU-native knobs
-    ap.add_argument("--dtype", default="float64",
-                    choices=["float32", "float64"])
+    ap.add_argument("--dtype", default="auto",
+                    choices=["auto", "float32", "float64"])
     ap.add_argument("--seed", type=int, default=925)
     return ap
 

@@ -91,7 +91,10 @@ class SolverParams:
     oracle_eps: float = 1e-6         # eigenvalue cutoff eps*lambda_max
 
     # --- TPU-native knobs (no reference equivalent) ---
-    dtype: str = "float64"           # factor/compute dtype
+    dtype: str = "auto"              # factor/compute dtype; "auto" resolves
+                                     # to float64 on CPU (reference parity)
+                                     # and float32 on TPU (f64 is emulated;
+                                     # final DIMACS re-verified in f64)
     cg_restart_freq: int = 20
     cg_max_iter: int = 800
     constr_refresh_every: int = 25   # recompute A(RR^T) fresh every k inner its

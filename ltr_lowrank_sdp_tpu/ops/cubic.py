@@ -33,7 +33,18 @@ def cubic_roots(a, b, c, d):
     Returns (roots[3], root_num) mirroring the reference's case analysis
     (including its clamping of the single-root cases at 0).  Invalid root
     slots are 0.
+
+    Coefficients are pre-scaled to unit magnitude (roots are invariant):
+    the discriminant combinations square them, so raw ALM coefficients of
+    order 1e8+ would overflow float32 and lose the low bits that decide the
+    delta sign in emulated float64.
     """
+    scale = jnp.maximum(
+        jnp.maximum(jnp.abs(a), jnp.abs(b)),
+        jnp.maximum(jnp.abs(c), jnp.abs(d)))
+    scale = jnp.where(scale > 0.0, scale, 1.0)
+    a, b, c, d = a / scale, b / scale, c / scale, d / scale
+
     A = b * b - 3.0 * a * c
     B = b * c - 9.0 * a * d
     C = c * c - 3.0 * b * d

@@ -211,14 +211,18 @@ def canonicalize(data: SDPAData, name: str = "") -> SDPProblem:
 
 
 def load_problem(path: str, name: str = "") -> SDPProblem:
-    from .io.sdpa import read_sdpa
-
     if not name:
         import os
 
         name = os.path.splitext(os.path.basename(path))[0]
         if name.endswith(".dat"):
             name = name[:-4]
+    if path.endswith(".mat"):
+        from .io.maxcut import load_maxcut_mat
+
+        return load_maxcut_mat(path, name=name)
+    from .io.sdpa import read_sdpa
+
     return canonicalize(read_sdpa(path), name=name)
 
 

@@ -141,3 +141,51 @@ def pd_gap(pobj, dobj):
 
 def dual_objective(b, dual, scale_obj):
     return jnp.vdot(b, dual) / scale_obj
+
+
+def host_metrics_f64(prob, U, V, ulp, vlp, dual, obj_scale: float):
+    """Final DIMACS metrics recomputed in float64 numpy on the host.
+
+    When the device solve runs in float32 (the TPU default), its self-
+    reported residuals sit at the f32 noise floor and can under- or
+    over-state the truth; the reference computes everything in double.
+    One pass over the COO data per cone is cheap relative to a solve.
+
+    Returns (pobj, dobj, pinf_l1, pinf_inf, gap).
+    """
+    import numpy as np
+
+    m = prob.m
+    cvals = np.zeros(m)
+    pobj = 0.0
+    for cone, u, v in zip(prob.cones, U, V):
+        u = np.asarray(u, np.float64)
+        v = np.asarray(v, np.float64)
+        # objective <C, sym(uv^T)>
+        e = 0.5 * (np.sum(u[cone.c_rows] * v[cone.c_cols], axis=1)
+                   + np.sum(u[cone.c_cols] * v[cone.c_rows], axis=1))
+        mult = np.where(cone.c_rows != cone.c_cols, 2.0, 1.0)
+        pobj += float(np.sum(mult * cone.c_vals * e))
+        # constraint values
+        if cone.kind_a == "diag":
+            de = np.sum(u[cone.diag_idx] * v[cone.diag_idx], axis=1)
+            np.add.at(cvals, cone.diag_cid, cone.diag_val * de)
+        else:
+            ae = 0.5 * (np.sum(u[cone.a_rows] * v[cone.a_cols], axis=1)
+                        + np.sum(u[cone.a_cols] * v[cone.a_rows], axis=1))
+            amult = np.where(cone.a_rows != cone.a_cols, 2.0, 1.0)
+            np.add.at(cvals, cone.a_cid, amult * cone.a_vals * ae)
+    if prob.lp is not None and ulp is not None:
+        x = np.asarray(ulp, np.float64) * np.asarray(vlp, np.float64)
+        pobj += float(prob.lp.c @ x)
+        np.add.at(cvals, prob.lp.cid, prob.lp.vals * x[prob.lp.col])
+
+    b = np.asarray(prob.b, np.float64)
+    dual64 = np.asarray(dual, np.float64)
+    dobj = float(b @ dual64) / float(obj_scale)
+    resid = b - cvals
+    pinf_l1 = float(np.linalg.norm(resid, 1)) / (1.0 + prob.b_nrm1)
+    pinf_inf = (float(np.max(np.abs(resid))) / (1.0 + prob.b_nrminf)
+                if m else 0.0)
+    gap = abs(pobj - dobj) / (1.0 + abs(pobj) + abs(dobj))
+    return pobj, dobj, pinf_l1, pinf_inf, gap

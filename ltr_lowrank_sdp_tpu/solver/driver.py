@@ -37,7 +37,7 @@ from ..ops.lanczos import lanczos_tridiag, tridiag_min_eig
 from ..problem import SDPProblem
 from .alm import ALMPhase, make_alm_carry
 from .admm import ADMMPhase
-from .common import ProblemConsts, init_factors
+from .common import ProblemConsts, host_metrics_f64, init_factors
 from .logging import TrajectoryLogger
 from .rank import RankState, make_rank_state, pad_factor_tuple
 
@@ -67,6 +67,13 @@ class SolveResult:
     oracle_rank: int
     logger: Optional[TrajectoryLogger] = None
     stage_times: Optional[Dict[str, float]] = None
+    # primal factors per cone (X_k = sym(U_k V_k^T)), LP column factors and
+    # dual multipliers of the returned iterate
+    U: Optional[Tuple] = None
+    V: Optional[Tuple] = None
+    ulp: Optional[object] = None
+    vlp: Optional[object] = None
+    dual: Optional[object] = None
 
     @property
     def errors_ok(self) -> bool:
@@ -81,7 +88,13 @@ class Solver:
     def __init__(self, prob: SDPProblem, params: Optional[SolverParams] = None):
         self.prob = prob
         self.params = params or SolverParams()
-        dtype = jnp.dtype(self.params.dtype)
+        dt = self.params.dtype
+        if dt == "auto":
+            # float64 is emulated (slow) on TPU; float32 compute reaches the
+            # reference's 1e-5 DIMACS targets (final metrics are re-verified
+            # in float64 on the host, see solve()).
+            dt = "float64" if jax.default_backend() == "cpu" else "float32"
+        dtype = jnp.dtype(dt)
         self.dtype = dtype
         self.cones, self.lp = build_cone_ops(prob, dtype)
         self.consts = ProblemConsts.from_problem(prob)
@@ -395,6 +408,19 @@ class Solver:
         gap, pinf_l1, pinf_inf, pobj, dobj = _fetch(
             admm_carry.gap, admm_carry.pinf_l1, admm_carry.pinf_inf,
             admm_carry.pobj, admm_carry.dobj)
+        if dtype != jnp.float64:
+            # re-verify the final iterate in f64 on the host: f32 device
+            # metrics sit at the f32 noise floor (the reference reports
+            # all-double DIMACS errors, main.c:592-602)
+            Ravg = tuple(0.5 * (np.asarray(u, np.float64)
+                                + np.asarray(v, np.float64))
+                         for u, v in zip(admm_carry.U, admm_carry.V))
+            rlp_avg = (0.5 * (np.asarray(admm_carry.ulp, np.float64)
+                              + np.asarray(admm_carry.vlp, np.float64))
+                       if admm_carry.ulp is not None else None)
+            pobj, dobj, pinf_l1, pinf_inf, gap = host_metrics_f64(
+                prob, Ravg, Ravg, rlp_avg, rlp_avg, admm_carry.dual,
+                _fetch(admm_carry.obj_scale)[0])
 
         if dinf_l1 <= 5 * p.phase2_tol and gap <= 5 * p.phase2_tol and \
                 pinf_l1 <= p.phase2_tol:
@@ -422,7 +448,9 @@ class Solver:
             solve_time=solve_time, alm_outer_iters=alm_outer,
             alm_inner_iters=alm_inner_total, admm_iters=admm_it,
             cg_iters=cg_total, final_ranks=list(rank_state.ranks),
-            oracle_rank=oracle, logger=logger, stage_times=stages)
+            oracle_rank=oracle, logger=logger, stage_times=stages,
+            U=admm_carry.U, V=admm_carry.V, ulp=admm_carry.ulp,
+            vlp=admm_carry.vlp, dual=admm_carry.dual)
 
 
 def solve(
