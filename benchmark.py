@@ -122,13 +122,26 @@ def main(argv=None):
     ap.add_argument("--fixed-rank", type=int, default=None,
                     help="without a checkpoint: compare vs this fixed rank")
     ap.add_argument("--timeout", type=float, default=DEFAULT_TIMEOUT)
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (leave the TPU free)")
     args = ap.parse_args(argv)
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     os.makedirs(args.output_dir, exist_ok=True)
     results = {}
     rows = []
+    seen = set()
     for subtype in args.subtypes:
         for inst in list_instances(args.instances, subtype):
+            # dir-level instances match every subtype's fallback glob; run
+            # each file once, under the first subtype that claims it
+            if inst in seen:
+                continue
+            seen.add(inst)
             name = os.path.basename(inst).replace(".dat-s", "")
             from ltr_lowrank_sdp_tpu.io.sdpa import read_sdpa
 

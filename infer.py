@@ -67,7 +67,14 @@ def main(argv=None):
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--min-rank", type=int, default=1)
     ap.add_argument("--output", default=None, help="write predictions JSON")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (leave the TPU free)")
     args = ap.parse_args(argv)
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     from ltr_lowrank_sdp_tpu.models.checkpoint import (
         load_model, predict_schedule_for_graph,

@@ -31,7 +31,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..config import SolverParams, SolverStatus
+from ..config import OracleRankMethod, SolverParams, SolverStatus
 from ..ops.coneops import build_cone_ops
 from ..ops.lanczos import lanczos_tridiag, tridiag_min_eig
 from ..problem import SDPProblem
@@ -114,16 +114,17 @@ class Solver:
 
     # ------------------------------------------------------------------ #
 
-    def _dinf_j(self):
-        """One jitted executable for the whole dual-infeasibility pass:
-        every cone's Lanczos recurrence (+ LP column sums) in one dispatch;
-        only the k-sized tridiagonal coefficients come back to the host."""
-        if getattr(self, "_dinf_fn", None) is not None:
-            return self._dinf_fn
+    def _final_j(self):
+        """One jitted executable for the whole end-of-solve device pass:
+        every cone's dual-slack Lanczos recurrence, the LP dual column sums,
+        and the (U+V)/2 Gram matrices for final oracle rank — one dispatch;
+        only k-vectors and r x r Grams come back to the host."""
+        if getattr(self, "_final_fn", None) is not None:
+            return self._final_fn
 
         cones, lp, dtype = self.cones, self.lp, self.dtype
 
-        def run(neg_lam, obj_scale, key):
+        def run(U, V, neg_lam, obj_scale, key):
             outs = []
             for i, ops in enumerate(cones):
                 def mv(y, ops=ops):
@@ -139,16 +140,30 @@ class Solver:
                 jnp.sum(jnp.abs(jnp.minimum(
                     lp.weighted_col_sums(neg_lam, obj_coef=obj_scale), 0.0)))
                 if lp is not None else jnp.asarray(0.0, dtype))
-            return outs, lp_term
+            grams = [
+                jnp.matmul((0.5 * (u + v)).T, 0.5 * (u + v),
+                           preferred_element_type=dtype)
+                for u, v in zip(U, V)]
+            return outs, lp_term, grams
 
-        self._dinf_fn = jax.jit(run)
-        return self._dinf_fn
+        self._final_fn = jax.jit(run)
+        return self._final_fn
 
-    def dual_infeasibility(self, dual, obj_scale: float) -> float:
+    def dual_infeasibility(self, dual, obj_scale: float,
+                           U=None, V=None):
         """l1 dual infeasibility via Lanczos min-eig of each slack block
-        (``calculate_dual_infeasibility_solver``, ``lorads_solver.c:1396``)."""
-        outs, lp_term = self._dinf_j()(
-            -dual, jnp.asarray(obj_scale, self.dtype), jax.random.PRNGKey(7))
+        (``calculate_dual_infeasibility_solver``, ``lorads_solver.c:1396``).
+
+        Returns (dinf_l1, grams): the per-cone (U+V)/2 Gram matrices ride the
+        same dispatch for final oracle-rank logging (negligible extra work).
+        """
+        if U is None:
+            U = tuple(jnp.zeros((ops.n, 1), self.dtype) for ops in self.cones)
+        if V is None:
+            V = U
+        outs, lp_term, grams = self._final_j()(
+            U, V, -dual, jnp.asarray(obj_scale, self.dtype),
+            jax.random.PRNGKey(7))
         total = 0.0
         for alphas, betas in outs:
             lam_min = tridiag_min_eig(alphas, betas)
@@ -156,7 +171,7 @@ class Solver:
         total += float(lp_term)
         total /= obj_scale
         total /= self.consts.c_nrm1 + 1.0
-        return total
+        return total, [np.asarray(g, np.float64) for g in grams]
 
     # ------------------------------------------------------------------ #
 
@@ -365,7 +380,8 @@ class Solver:
 
         # dual infeasibility certification
         scale_now = _fetch(admm_carry.obj_scale)[0]
-        dinf_l1 = self.dual_infeasibility(admm_carry.dual, scale_now)
+        dinf_l1, final_grams = self.dual_infeasibility(
+            admm_carry.dual, scale_now, admm_carry.U, admm_carry.V)
         dinf_inf = dinf_l1 * (1 + self.consts.c_nrm1) / (
             1 + self.consts.c_nrminf)
         mark("dinf")
@@ -394,7 +410,8 @@ class Solver:
                     admm_carry = admm_carry._replace(ulp=lp_avg, vlp=lp_avg)
                 admm_carry = admm._metrics_j(admm_carry)
                 scale_now = _fetch(admm_carry.obj_scale)[0]
-                dinf_l1 = self.dual_infeasibility(admm_carry.dual, scale_now)
+                dinf_l1, final_grams = self.dual_infeasibility(
+                    admm_carry.dual, scale_now, admm_carry.U, admm_carry.V)
                 dinf_inf = dinf_l1 * (1 + self.consts.c_nrm1) / (
                     1 + self.consts.c_nrminf)
                 dual_cnt += 1
@@ -433,7 +450,13 @@ class Solver:
             status = SolverStatus.TIME_LIMIT
 
         solve_time = time.time() - t0
-        oracle = logger.oracle_rank(admm_carry.U, 2, avg_with=admm_carry.V)
+        if (params.oracle_rank_method == OracleRankMethod.NAIVE
+                and any(c.n <= 2000 for c in prob.cones)):
+            # full-matrix oracle (reference lorads_logging.c:406-451)
+            oracle = logger.oracle_rank(admm_carry.U, 2, avg_with=admm_carry.V)
+        else:
+            # Gram spectra already rode the dual-infeasibility dispatch
+            oracle = logger.oracle_from_grams(final_grams)
 
         if json_path:
             logger.write_json(

@@ -58,3 +58,73 @@ def test_tiny_dense_sdp(tmp_path):
     res = solve(prob, SolverParams())
     assert abs(res.pobj - 1.0) < 1e-4
     assert res.pinf_l1 < 1e-5
+
+
+def test_mc500_matrix_completion(mc500_path):
+    """Matrix-completion family (sparse constraint path; MC tables
+    ``lorads/README.md:201-223``)."""
+    prob = load_problem(mc500_path)
+    res = solve(prob, SolverParams(heuristic_factor=10.0,
+                                   disable_oracle=True))
+    assert res.status in (
+        SolverStatus.PRIMAL_DUAL_OPTIMAL, SolverStatus.PRIMAL_OPTIMAL,
+    )
+    assert res.pinf_l1 <= 1e-5
+    assert res.gap <= 5e-5
+    assert res.dinf_l1 <= 5e-5
+
+
+def test_checker_mittelmann():
+    """Mittelmann checker_1.5 (n=3970, m=3971; LoRADS CPU 4.8 s,
+    ``lorads/README.md:241``)."""
+    import pathlib
+
+    p = pathlib.Path(
+        "/root/reference/lorads/data/General_SDP/checker_1.5.dat-s")
+    if not p.exists():
+        pytest.skip("checker_1.5.dat-s not available")
+    prob = load_problem(str(p))
+    res = solve(prob, SolverParams(disable_oracle=True))
+    assert res.status in (
+        SolverStatus.PRIMAL_DUAL_OPTIMAL, SolverStatus.PRIMAL_OPTIMAL,
+    )
+    assert res.pinf_l1 <= 1e-5
+    assert res.gap <= 5e-5
+    # reference objective for checker_1.5 is 3.30e+03 (SDPLIB/Mittelmann)
+    assert abs(res.pobj - 3304.6) / 3304.6 < 1e-3
+
+
+def test_sdp_plus_lp_cone(tmp_path):
+    """Mixed SDP + LP cone solve with a known optimum.
+
+    min  tr(X) + 2*y1 + y2
+    s.t. X_11 + y1      = 2
+         X_22      + y2 = 1
+         X >= 0 (2x2), y >= 0
+    Optimum: X = 0, y = (2, 1), obj = 5?  No: tr(X) costs 1 per unit while
+    y1 costs 2 -> put mass in X_11: X_11 = 2 (cost 2) vs y1 = 2 (cost 4).
+    X_22 = 1 (cost 1) vs y2 = 1 (cost 1) - tie; either way obj = 3.
+    """
+    text = """\
+2
+2
+2 -2
+2.0 1.0
+0 1 1 1 -1.0
+0 1 2 2 -1.0
+0 2 1 1 -2.0
+0 2 2 2 -1.0
+1 1 1 1 1.0
+1 2 1 1 1.0
+2 1 2 2 1.0
+2 2 2 2 1.0
+"""
+    p = tmp_path / "sdplp.dat-s"
+    p.write_text(text)
+    prob = load_problem(str(p))
+    assert prob.n_lp_cols == 2
+    res = solve(prob, SolverParams(disable_oracle=True))
+    assert res.pinf_l1 < 1e-5
+    # reader negates SDPA objective entries (max convention -> min <C,X>),
+    # so writing -1/-2 above yields min tr(X) + 2 y1 + y2 = 3
+    assert abs(res.pobj - 3.0) < 1e-3

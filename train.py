@@ -135,8 +135,11 @@ def main(argv=None):
     steps_per_epoch = max(1, (len(train_idx) + args.batch_size - 1)
                           // args.batch_size)
     if args.scheduler == "cosine":
+        # clamp warmup below the run length (short smoke runs would
+        # otherwise produce negative decay_steps)
+        warmup_epochs = min(args.warmup_epochs, max(args.epochs - 1, 0))
         sched = optax.warmup_cosine_decay_schedule(
-            0.0, args.lr, args.warmup_epochs * steps_per_epoch,
+            0.0, args.lr, warmup_epochs * steps_per_epoch,
             args.epochs * steps_per_epoch, end_value=args.lr * 1e-2,
         )
     else:
