@@ -16,14 +16,19 @@ pays XLA compilation (cached persistently across processes), the second is
 the timed production path.  Timing is end-to-end time-to-KKT at the
 reference's phase2Tol=1e-5, statuses must certify optimality or the
 instance counts as failed (speedup 0 — excluded from the geomean but
-reported).  A wall-clock budget (BENCH_TIME_BUDGET, default 2700 s) guards
-against cold-compile storms: instances that would start past the budget are
-skipped and listed.
+reported).
+
+Each instance runs in its OWN subprocess (``--one``) and is retried up to
+twice: the remote-TPU (axon tunnel) worker occasionally crashes/restarts
+mid-run, which poisons the whole process's backend — isolation turns an
+infra flake into a retry instead of a zeroed suite.  A wall-clock budget
+(BENCH_TIME_BUDGET, default 2700 s) guards against cold-compile storms.
 """
 
 import json
 import math
 import os
+import subprocess
 import sys
 import time
 
@@ -45,65 +50,114 @@ SUITE = [
 ]
 
 OK_STATUSES = ("primal_dual_optimal", "primal_optimal")
+RETRIES = 2
 
 
-def main():
+def run_one(name: str, probe: bool) -> dict:
+    """Solve one suite instance (cold + warm) and return its result row.
+
+    Runs inside the per-instance subprocess.
+    """
     import jax
-    import jax.numpy as jnp
 
     from ltr_lowrank_sdp_tpu.config import SolverParams
     from ltr_lowrank_sdp_tpu.problem import load_problem
     from ltr_lowrank_sdp_tpu.solver.driver import Solver
 
-    budget = float(os.environ.get("BENCH_TIME_BUDGET", "2700"))
+    entry = next(e for e in SUITE if e[0] == name)
+    _, path, base_sec, overrides = entry
     dtype = os.environ.get("BENCH_DTYPE", "auto")
+
+    prob = load_problem(path)
+    params = SolverParams(disable_oracle=True, dtype=dtype, **overrides)
+    sv = Solver(prob, params)
+    res = sv.solve()               # cold: compiles (persistently cached)
+    t0 = time.time()
+    res = sv.solve()               # warm: the production path
+    warm = time.time() - t0
+    ok = res.status.value in OK_STATUSES
+    row = {
+        "name": name, "n": prob.block_dims[0], "warm_sec": round(warm, 4),
+        "lorads_cpu_sec": base_sec,
+        "speedup": round(base_sec / warm, 3) if ok else 0.0,
+        "status": res.status.value, "pobj": res.pobj,
+        "pinf_l1": res.pinf_l1, "gap": res.gap, "dinf_l1": res.dinf_l1,
+        "ranks": res.final_ranks,
+        "device": str(jax.devices()[0]),
+    }
+
+    if probe:
+        # speed-of-light probe: A(RR^T) on this instance's cone
+        import jax.numpy as jnp  # noqa: F401
+        from ltr_lowrank_sdp_tpu.ops.coneops import build_cone_ops
+
+        rdt = sv.dtype
+        cones, _ = build_cone_ops(prob, rdt)
+        ops = cones[0]
+        r = max(res.final_ranks[0], 8)
+        U = jax.random.normal(jax.random.PRNGKey(0), (ops.n, r), rdt)
+        f = jax.jit(lambda u: ops.constr_vals(u, u))
+        f(U).block_until_ready()
+        t0 = time.time()
+        for _ in range(200):
+            out = f(U)
+        out.block_until_ready()
+        row["A_RRt_gflops"] = round(
+            ops.constr_flops(r) / ((time.time() - t0) / 200) / 1e9, 3)
+    return row
+
+
+def main():
+    if len(sys.argv) >= 3 and sys.argv[1] == "--one":
+        name = sys.argv[2]
+        probe = "--probe" in sys.argv
+        print("BENCH_ROW " + json.dumps(run_one(name, probe)))
+        return 0
+
+    budget = float(os.environ.get("BENCH_TIME_BUDGET", "2700"))
     t_start = time.time()
 
     results = []
     speedups = []
     kernel_gflops = None
-    for name, path, base_sec, overrides in SUITE:
+    device = None
+    for i, (name, path, base_sec, _) in enumerate(SUITE):
         if not os.path.exists(path):
             results.append({"name": name, "skipped": "missing data"})
             continue
         if time.time() - t_start > budget:
             results.append({"name": name, "skipped": "time budget"})
             continue
-        prob = load_problem(path)
-        params = SolverParams(disable_oracle=True, dtype=dtype, **overrides)
-        sv = Solver(prob, params)
-        res = sv.solve()               # cold: compiles (persistently cached)
-        t0 = time.time()
-        res = sv.solve()               # warm: the production path
-        warm = time.time() - t0
-        ok = res.status.value in OK_STATUSES
-        results.append({
-            "name": name, "n": prob.block_dims[0], "warm_sec": round(warm, 4),
-            "lorads_cpu_sec": base_sec,
-            "speedup": round(base_sec / warm, 3) if ok else 0.0,
-            "status": res.status.value, "pobj": res.pobj,
-            "pinf_l1": res.pinf_l1, "gap": res.gap, "dinf_l1": res.dinf_l1,
-            "ranks": res.final_ranks,
-        })
-        if ok:
-            speedups.append(base_sec / warm)
-
-        if kernel_gflops is None:
-            # speed-of-light probe: A(RR^T) on the first instance's cone
-            from ltr_lowrank_sdp_tpu.ops.coneops import build_cone_ops
-
-            rdt = sv.dtype
-            cones, _ = build_cone_ops(prob, rdt)
-            ops = cones[0]
-            r = max(res.final_ranks[0], 8)
-            U = jax.random.normal(jax.random.PRNGKey(0), (ops.n, r), rdt)
-            f = jax.jit(lambda u: ops.constr_vals(u, u))
-            f(U).block_until_ready()
-            t0 = time.time()
-            for _ in range(200):
-                out = f(U)
-            out.block_until_ready()
-            kernel_gflops = ops.constr_flops(r) / ((time.time() - t0) / 200) / 1e9
+        row = None
+        for attempt in range(RETRIES + 1):
+            cmd = [sys.executable, os.path.abspath(__file__), "--one", name]
+            if i == 0:
+                cmd.append("--probe")
+            try:
+                proc = subprocess.run(
+                    cmd, capture_output=True, text=True,
+                    timeout=max(120.0, budget - (time.time() - t_start)))
+            except subprocess.TimeoutExpired:
+                row = {"name": name, "skipped": "instance timeout"}
+                break
+            for line in proc.stdout.splitlines():
+                if line.startswith("BENCH_ROW "):
+                    row = json.loads(line[len("BENCH_ROW "):])
+                    break
+            if row is not None:
+                break
+            err_tail = (proc.stderr or "").strip().splitlines()[-2:]
+            row_fail = {"name": name, "crashed": True, "attempt": attempt + 1,
+                        "stderr_tail": err_tail}
+            if attempt == RETRIES:
+                row = row_fail
+        results.append(row)
+        if row and row.get("speedup"):
+            speedups.append(row["speedup"])
+        if row and row.get("A_RRt_gflops"):
+            kernel_gflops = row["A_RRt_gflops"]
+        if row and row.get("device"):
+            device = row["device"]
 
     geomean = (math.exp(sum(math.log(s) for s in speedups) / len(speedups))
                if speedups else 0.0)
@@ -115,10 +169,11 @@ def main():
         "n_solved": len(speedups),
         "n_total": len(SUITE),
         "instances": results,
-        "A_RRt_gflops": round(kernel_gflops, 3) if kernel_gflops else None,
-        "dtype": dtype,
-        "device": str(jax.devices()[0]),
+        "A_RRt_gflops": kernel_gflops,
+        "dtype": os.environ.get("BENCH_DTYPE", "auto"),
+        "device": device,
     }))
+    return 0
 
 
 if __name__ == "__main__":

@@ -78,6 +78,7 @@ class ADMMCtrl(NamedTuple):
     bad_pd: jnp.ndarray
     cg_total: jnp.ndarray
     code: jnp.ndarray
+    cg_start: jnp.ndarray      # cg_total at dispatch entry (work budget)
 
 
 @dataclasses.dataclass
@@ -88,6 +89,10 @@ class ADMMInfo:
     time_limit: bool = False
     converged: bool = False
     bad_iter: bool = False
+    # device metrics at the last chunk boundary (host mirrors; avoid
+    # extra device->host syncs in the driver's control logic)
+    last_gap: Optional[float] = None
+    last_pinf: Optional[float] = None
 
 
 class ADMMPhase:
@@ -103,6 +108,18 @@ class ADMMPhase:
         self.n_lp = n_lp
         self.has_lp = n_lp > 0
         self.chunk = chunk_size
+
+        # per-dispatch CG-iteration budget: bound the device work of one
+        # fused chunk (long dispatches can't honor wall-clock limits and
+        # stress remote-TPU RPC deadlines); one CG iteration = one
+        # A(x V^T) + one (C + A*(w)) apply per cone
+        from .alm import DISPATCH_FLOP_BUDGET
+
+        work = 1.0
+        for ops, (n, r) in zip(cones, self.shapes):
+            work += ops.constr_flops(r) + ops.apply_flops(r)
+        self.cg_budget = int(min(max(DISPATCH_FLOP_BUDGET / work, 100),
+                                 2_000_000_000))
 
         self._metrics_j = jax.jit(self._metrics)
         self._chunk_cache = {}
@@ -230,6 +247,8 @@ class ADMMPhase:
         CH = self.chunk
         cg_tol_factor = 1e-2 if mode == "main" else 1e-4
         stats0 = jnp.zeros((CH, STAT_COLS), dtype)
+        # fresh per-dispatch CG work budget
+        ctrl = ctrl._replace(cg_start=ctrl.cg_total)
         # per-iteration (U+V)/2 Gram matrices for oracle-rank logging
         grams0 = tuple(
             jnp.zeros((CH, s[1], s[1]), dtype) for s in self.shapes)
@@ -240,8 +259,9 @@ class ADMMPhase:
                 (ctrl.it <= p.max_admm_iter)
                 | (carry.gap >= p.phase2_tol)
                 | (carry.pinf_l1 >= p.phase2_tol))
+            within_budget = ctrl.cg_total - ctrl.cg_start < self.cg_budget
             return ((j < CH) & (ctrl.code == CODE_RUN)
-                    & overall & (ctrl.it < iter_ceiling))
+                    & overall & (ctrl.it < iter_ceiling) & within_budget)
 
         def body(st):
             carry, ctrl, j, stats, grams = st
@@ -368,17 +388,38 @@ class ADMMPhase:
 
     def run(self, carry: ADMMCarry, rho: float, iter_start: int,
             iter_ceiling: int, time_start: float, mode: str = "main",
-            record_cb=None, rho_max: Optional[float] = None):
-        """Dispatch fused chunks until a terminal code."""
+            record_cb=None, rho_max: Optional[float] = None,
+            entry_gap: Optional[float] = None,
+            entry_pinf: Optional[float] = None,
+            f64_check=None):
+        """Dispatch fused chunks until a terminal code.
+
+        ``entry_gap``/``entry_pinf`` are host mirrors of ``carry.gap`` /
+        ``carry.pinf_l1`` (known to the driver from the preceding ALM stats
+        row); passing them skips a device sync on entry.
+
+        ``f64_check(carry) -> (pobj, dobj, pinf_l1, pinf_inf, gap)`` is an
+        optional float64 host re-evaluation of the averaged iterate.  Under
+        float32 compute the device objective carries an O(sqrt(nnz))
+        summation noise floor that can exceed phase2Tol on large instances
+        — the device gap then *plateaus* above tolerance even though the
+        true gap is already converged, and the loop would grind to maxiter.
+        When the device metrics sit within 1e4x of tolerance, the host
+        verifies in f64 and exits on true convergence.
+        """
         p = self.params
         dtype = self.b.dtype
         if rho_max is None:
             rho_max = p.rho_max
         info = ADMMInfo()
 
-        if float(carry.gap) <= p.phase2_tol and \
-                float(carry.pinf_l1) <= p.phase2_tol:
+        if entry_gap is None:
+            entry_gap = float(carry.gap)
+        if entry_pinf is None:
+            entry_pinf = float(carry.pinf_l1)
+        if entry_gap <= p.phase2_tol and entry_pinf <= p.phase2_tol:
             info.converged = True
+            info.last_gap, info.last_pinf = entry_gap, entry_pinf
             return carry, rho, iter_start, info
 
         rho = min(rho, rho_max)
@@ -391,10 +432,13 @@ class ADMMPhase:
             count=jnp.asarray(0, jnp.int32),
             bad_pd=jnp.asarray(0, jnp.int32),
             cg_total=jnp.asarray(0, jnp.int32),
+            cg_start=jnp.asarray(0, jnp.int32),
             code=jnp.asarray(CODE_RUN, jnp.int32),
         )
         step = self._chunk_j(mode, int(iter_ceiling))
         CH = self.chunk
+        last_f64_it = -10**9
+        f64_every = 0
         gram_sizes = [int(s[1]) for s in self.shapes]
         while True:
             carry, ctrl, blob = step(carry, ctrl)
@@ -420,6 +464,7 @@ class ADMMPhase:
             info.iters = it_now
             info.cg_iters_total = cg_total
             last_gap, last_pinf, last_rho = blob[5], blob[6], blob[3]
+            info.last_gap, info.last_pinf = float(last_gap), float(last_pinf)
             if code == CODE_NUM_ERR:
                 info.num_err = True
                 break
@@ -434,6 +479,21 @@ class ADMMPhase:
                 break
             if code == CODE_CEILING:
                 break
+            if (f64_check is not None
+                    and last_pinf <= p.phase2_tol
+                    and last_gap <= 1e4 * p.phase2_tol
+                    and it_now - last_f64_it >= f64_every):
+                # plausibly converged but the f32 device gap can't resolve
+                # it: re-evaluate the averaged iterate in f64 on the host
+                pobj64, dobj64, pinf64, pinfi64, gap64 = f64_check(carry)
+                last_f64_it = it_now
+                if gap64 <= p.phase2_tol and pinf64 <= p.phase2_tol:
+                    info.converged = True
+                    info.last_gap, info.last_pinf = gap64, pinf64
+                    break
+                # back off while the true gap is still far from tolerance
+                f64_every = self.chunk if gap64 <= 10 * p.phase2_tol \
+                    else 4 * self.chunk
             if time.time() - time_start >= p.time_sec_limit:
                 info.time_limit = True
                 break

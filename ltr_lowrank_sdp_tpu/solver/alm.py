@@ -53,6 +53,13 @@ CODE_CONVERGED = 1
 CODE_NUM_ERR = 2
 CODE_ESCALATE = 3
 CODE_MAXITER = 4
+CODE_YIELD = 5        # per-dispatch work budget exhausted; host re-dispatches
+
+# Per-dispatch device-work budget in FLOPs.  A single fused dispatch must
+# stay a few seconds long: very long dispatches cannot be interrupted for
+# wall-clock limits and have been observed to trip remote-TPU (tunnel)
+# RPC deadlines, surfacing as worker crashes on big instances.
+DISPATCH_FLOP_BUDGET = 4e10
 
 
 class ALMCarry(NamedTuple):
@@ -91,6 +98,8 @@ class OuterCtrl(NamedTuple):
     rho_factor_flag: jnp.ndarray
     inner_total: jnp.ndarray        # cumulative inner iterations
     code: jnp.ndarray               # exit code (CODE_*)
+    resuming: jnp.ndarray           # i32: mid-outer-iteration resume (YIELD)
+    budget_start: jnp.ndarray      # inner_total at dispatch entry
 
 
 class PassStats(NamedTuple):
@@ -102,7 +111,13 @@ class PassStats(NamedTuple):
 
 @dataclasses.dataclass
 class ALMOuterInfo:
-    """Host-side summary after an ALM run."""
+    """Host-side summary after an ALM run.
+
+    The scalar metric fields mirror the device carry at the last processed
+    stats row; they let the driver make control decisions (handoff rho,
+    reopt entry) without extra device->host syncs.  ``None`` means no row
+    was processed (immediate MAXITER exit) — callers fall back to a fetch.
+    """
 
     outer_iter: int = 0
     inner_iter: int = 0
@@ -110,6 +125,12 @@ class ALMOuterInfo:
     num_err: bool = False
     time_limit: bool = False
     converged: bool = False
+    pobj: Optional[float] = None
+    dobj: Optional[float] = None
+    pinf_l1: Optional[float] = None
+    pinf_inf: Optional[float] = None
+    gap: Optional[float] = None
+    rho: Optional[float] = None
 
 
 def make_outer_ctrl(params: SolverParams, outer_iter: int,
@@ -126,6 +147,7 @@ def make_outer_ctrl(params: SolverParams, outer_iter: int,
         max_sub_iter=i32(5000), update_max_sub_counter=i32(0),
         rho_update_factor=f(rho_update_factor), rho_factor_flag=i32(0),
         inner_total=i32(inner_total), code=i32(CODE_CONTINUE),
+        resuming=i32(0), budget_start=i32(inner_total),
     )
 
 
@@ -143,6 +165,15 @@ class ALMPhase:
         self.n_lp = n_lp
         self.has_lp = n_lp > 0
         self.n_elems = int(sum(np.prod(s) for s in shapes)) + n_lp
+
+        # per-dispatch inner-iteration budget from a FLOP estimate of one
+        # inner descent step (3x constraint evaluations + 1 gradient apply)
+        work = 1.0
+        for ops, (n, r) in zip(cones, self.shapes):
+            work += 3.0 * ops.constr_flops(r) + ops.apply_flops(r)
+        self.inner_budget = int(
+            min(max(DISPATCH_FLOP_BUDGET / work, 64), 200_000))
+        self.inner_pass_cap = int(min(800, self.inner_budget))
 
         self._grad_cert_j = jax.jit(self._grad_cert)
         self._metrics_j = jax.jit(self._metrics)
@@ -177,6 +208,15 @@ class ALMPhase:
             o = o + ops.obj_value(u, v)
             c = c + ops.constr_vals(u, v)
         return o, c
+
+    def _constr_only(self, U, V, ulp, vlp):
+        if self.has_lp:
+            c = self.lp.constr_vals(ulp, vlp)
+        else:
+            c = jnp.zeros_like(self.b)
+        for ops, u, v in zip(self.cones, U, V):
+            c = c + ops.constr_vals(u, v)
+        return c
 
     def _grad_cert(self, carry: ALMCarry) -> ALMCarry:
         grads, grad_lp, gsq = alm_gradient(
@@ -231,7 +271,7 @@ class ALMPhase:
             c, local_iter, clear, num_err, tau_small, early = st
             return (
                 (c.cert_val - c.cert_tol > p.end_alm_sub_tol)
-                & (local_iter <= 800)
+                & (local_iter <= self.inner_pass_cap)
                 & ~(num_err | tau_small | early)
             )
 
@@ -260,9 +300,18 @@ class ALMPhase:
             R_new = tuple(r + tau_eff * d for r, d in zip(c.R, D))
             rlp_new = c.rlp + tau_eff * dlp if self.has_lp else None
 
-            # fresh constraint values (the reference recomputes them in its
-            # per-step DIMACS update, alg_common.c:386-394)
-            _, cvals = self._obj_and_constr(R_new, R_new, rlp_new, rlp_new)
+            # cheap exact constraint update A((R+tD)(R+tD)^T) =
+            # A(RR^T) + t*q1 + t^2*q2 (reference lorads_alm.c:1351-1353) —
+            # q1/q2 were already computed for the line search; a periodic
+            # fresh recompute bounds float32 accumulation drift
+            cvals_cheap = (c.constr_sum + tau_eff * q1
+                           + (tau_eff * tau_eff) * q2)
+            refresh = (local_iter % p.constr_refresh_every
+                       ) == p.constr_refresh_every - 1
+            cvals = jax.lax.cond(
+                refresh,
+                lambda _: self._constr_only(R_new, R_new, rlp_new, rlp_new),
+                lambda _: cvals_cheap, None)
 
             grads, grad_lp, gsq = alm_gradient(
                 self.cones, self.lp, R_new, rlp_new, c.dual, cvals, self.b,
@@ -325,18 +374,23 @@ class ALMPhase:
 
         def run_outer(args):
             carry, ctrl = args
-            # per-outer-iteration resets (lorads_alm.c:1011-1018)
-            grow = ctrl.update_max_sub_counter >= 2
+            # per-outer-iteration resets (lorads_alm.c:1011-1018) — skipped
+            # when resuming a budget-yielded sub-loop mid-iteration
+            fresh = ctrl.resuming == 0
+            grow = fresh & (ctrl.update_max_sub_counter >= 2)
             ctrl = ctrl._replace(
-                ema_cur=jnp.asarray(0.0, dtype),
-                ema_old=jnp.asarray(0.0, dtype),
-                ema_counter=jnp.asarray(1, jnp.int32),
-                cur_iter_counter=jnp.asarray(1, jnp.int32),
+                ema_cur=jnp.where(fresh, 0.0, ctrl.ema_cur).astype(dtype),
+                ema_old=jnp.where(fresh, 0.0, ctrl.ema_old).astype(dtype),
+                ema_counter=jnp.where(fresh, 1, ctrl.ema_counter)
+                .astype(jnp.int32),
+                cur_iter_counter=jnp.where(fresh, 1, ctrl.cur_iter_counter)
+                .astype(jnp.int32),
                 max_sub_iter=jnp.where(
                     grow, jnp.minimum(ctrl.max_sub_iter + 10000, 25000),
                     ctrl.max_sub_iter),
                 update_max_sub_counter=jnp.where(
                     grow, 0, ctrl.update_max_sub_counter),
+                resuming=jnp.asarray(0, jnp.int32),
             )
 
             # ---- difficulty sub-loop ----
@@ -346,70 +400,120 @@ class ALMPhase:
 
             def sub_body(st):
                 carry, ctrl, cont = st
-                # EMA stall gate
-                ema_cur = 0.1 * carry.cert_val + 0.9 * ctrl.ema_cur
-                do_check = ctrl.ema_counter >= 5
-                safe_old = jnp.where(ctrl.ema_old != 0.0, ctrl.ema_old, 1.0)
-                change = (ema_cur - ctrl.ema_old) / safe_old
-                within = (change >= -0.005) & (change <= 0.005)
-                if_break = jnp.where(do_check & (ctrl.ema_old != 0.0),
-                                     within, True)
-                ctrl = ctrl._replace(
-                    ema_cur=ema_cur,
-                    ema_old=jnp.where(do_check, ema_cur, ctrl.ema_old),
-                    ema_counter=jnp.where(do_check, 1, ctrl.ema_counter + 1),
-                )
-                stop_ema = (~if_break) & (not p.high_acc_mode)
-                stop_iters = ctrl.cur_iter_counter >= ctrl.max_sub_iter
-                stop_rank = (
-                    (ctrl.rank_flag >= rank_thresh)
-                    & (not is_rank_max)
-                    & (ctrl.k - ctrl.last_outer_start >= 3)
-                )
-                stop_cert = carry.cert_val <= carry.cert_tol
-                stop = stop_ema | stop_iters | stop_rank | stop_cert
-                ctrl = ctrl._replace(
-                    update_max_sub_counter=ctrl.update_max_sub_counter
-                    + stop_iters.astype(jnp.int32))
-
-                def run_inner(args):
-                    carry, ctrl = args
-                    carry, stats = self._inner_pass(carry, early_variant)
-                    local = stats.local_iter
-                    ctrl = ctrl._replace(
-                        cur_iter_counter=ctrl.cur_iter_counter + local,
-                        inner_total=ctrl.inner_total + local,
-                    )
-                    code = jnp.where(
-                        stats.num_err, CODE_NUM_ERR,
-                        jnp.where(stats.early_exit, CODE_CONVERGED,
-                                  CODE_CONTINUE)).astype(jnp.int32)
-                    ctrl = ctrl._replace(code=jnp.where(
-                        ctrl.code == CODE_CONTINUE, code, ctrl.code))
-                    graded = ~(stats.num_err | stats.tau_small
-                               | stats.early_exit)
-                    easy = local <= 20
-                    add = jnp.where(
-                        local <= 20, 0,
-                        jnp.where(local <= 100, 2,
-                                  jnp.where(local < 400, 3, 4)))
-                    new_flag = jnp.where(
-                        graded & easy, 0,
-                        ctrl.rank_flag + jnp.where(graded, add, 0))
-                    ctrl = ctrl._replace(rank_flag=new_flag.astype(jnp.int32))
-                    cont = graded & (~easy)
-                    return carry, ctrl, cont
-
-                carry, ctrl, cont = jax.lax.cond(
-                    stop,
-                    lambda a: (a[0], a[1], jnp.asarray(False)),
-                    run_inner,
-                    (carry, ctrl),
-                )
-                return carry, ctrl, cont
+                # per-dispatch work budget: yield back to the host (which
+                # simply re-dispatches) instead of running unboundedly
+                budget_hit = (
+                    ctrl.inner_total - ctrl.budget_start
+                    >= self.inner_budget)
+                return jax.lax.cond(
+                    budget_hit, self._sub_yield,
+                    partial(self._sub_normal, early_variant=early_variant,
+                            rank_thresh=rank_thresh,
+                            is_rank_max=is_rank_max),
+                    (carry, ctrl))
 
             carry, ctrl, _ = jax.lax.while_loop(
                 sub_cond, sub_body, (carry, ctrl, jnp.asarray(True)))
+            return self._outer_tail(carry, ctrl, mode=mode,
+                                    early_stop=early_stop,
+                                    is_rank_max=is_rank_max,
+                                    rank_thresh=rank_thresh)
+
+        def head_exit(args):
+            carry, ctrl = args
+            ctrl = ctrl._replace(code=jnp.asarray(CODE_MAXITER, jnp.int32))
+            return carry, ctrl
+
+        carry, ctrl = jax.lax.cond(head_done, head_exit, run_outer,
+                                   (carry, ctrl))
+        return carry, ctrl
+
+    @staticmethod
+    def _sub_yield(args):
+        carry, ctrl = args
+        ctrl = ctrl._replace(
+            code=jnp.asarray(CODE_YIELD, jnp.int32),
+            resuming=jnp.asarray(1, jnp.int32))
+        return carry, ctrl, jnp.asarray(False)
+
+    def _sub_normal(self, args, *, early_variant, rank_thresh, is_rank_max):
+        """One difficulty-sub-loop pass: EMA gate, stop checks, inner loop."""
+        carry, ctrl = args
+        p = self.params
+        # EMA stall gate
+        ema_cur = 0.1 * carry.cert_val + 0.9 * ctrl.ema_cur
+        do_check = ctrl.ema_counter >= 5
+        safe_old = jnp.where(ctrl.ema_old != 0.0, ctrl.ema_old, 1.0)
+        change = (ema_cur - ctrl.ema_old) / safe_old
+        within = (change >= -0.005) & (change <= 0.005)
+        if_break = jnp.where(do_check & (ctrl.ema_old != 0.0),
+                             within, True)
+        ctrl = ctrl._replace(
+            ema_cur=ema_cur,
+            ema_old=jnp.where(do_check, ema_cur, ctrl.ema_old),
+            ema_counter=jnp.where(do_check, 1, ctrl.ema_counter + 1),
+        )
+        stop_ema = (~if_break) & (not p.high_acc_mode)
+        stop_iters = ctrl.cur_iter_counter >= ctrl.max_sub_iter
+        stop_rank = (
+            (ctrl.rank_flag >= rank_thresh)
+            & (not is_rank_max)
+            & (ctrl.k - ctrl.last_outer_start >= 3)
+        )
+        stop_cert = carry.cert_val <= carry.cert_tol
+        stop = stop_ema | stop_iters | stop_rank | stop_cert
+        ctrl = ctrl._replace(
+            update_max_sub_counter=ctrl.update_max_sub_counter
+            + stop_iters.astype(jnp.int32))
+
+        def run_inner(args):
+            carry, ctrl = args
+            carry, stats = self._inner_pass(carry, early_variant)
+            local = stats.local_iter
+            ctrl = ctrl._replace(
+                cur_iter_counter=ctrl.cur_iter_counter + local,
+                inner_total=ctrl.inner_total + local,
+            )
+            code = jnp.where(
+                stats.num_err, CODE_NUM_ERR,
+                jnp.where(stats.early_exit, CODE_CONVERGED,
+                          CODE_CONTINUE)).astype(jnp.int32)
+            ctrl = ctrl._replace(code=jnp.where(
+                ctrl.code == CODE_CONTINUE, code, ctrl.code))
+            graded = ~(stats.num_err | stats.tau_small
+                       | stats.early_exit)
+            easy = local <= 20
+            add = jnp.where(
+                local <= 20, 0,
+                jnp.where(local <= 100, 2,
+                          jnp.where(local < 400, 3, 4)))
+            new_flag = jnp.where(
+                graded & easy, 0,
+                ctrl.rank_flag + jnp.where(graded, add, 0))
+            ctrl = ctrl._replace(rank_flag=new_flag.astype(jnp.int32))
+            cont = graded & (~easy)
+            return carry, ctrl, cont
+
+        carry, ctrl, cont = jax.lax.cond(
+            stop,
+            lambda a: (a[0], a[1], jnp.asarray(False)),
+            run_inner,
+            (carry, ctrl),
+        )
+        return carry, ctrl, cont
+
+    def _outer_tail(self, carry: ALMCarry, ctrl: OuterCtrl, *, mode: str,
+                    early_stop: bool, is_rank_max: bool, rank_thresh: float):
+        """Post-sub-loop work of one outer iteration: UpdateRho do-while,
+        metrics, convergence/escalation codes.  Skipped entirely on a
+        budget YIELD (the host re-dispatches mid-iteration)."""
+        p = self.params
+
+        def yield_path(args):
+            return args
+
+        def finish(args):
+            carry, ctrl = args
 
             # ---- UpdateRho do-while (skip on num_err / converged) ----
             def update_rho(args):
@@ -490,14 +594,8 @@ class ALMPhase:
             ctrl = ctrl._replace(code=exit_code(carry, ctrl))
             return carry, ctrl
 
-        def head_exit(args):
-            carry, ctrl = args
-            ctrl = ctrl._replace(code=jnp.asarray(CODE_MAXITER, jnp.int32))
-            return carry, ctrl
-
-        carry, ctrl = jax.lax.cond(head_done, head_exit, run_outer,
-                                   (carry, ctrl))
-        return carry, ctrl
+        return jax.lax.cond(ctrl.code == CODE_YIELD, yield_path, finish,
+                            (carry, ctrl))
 
     def _stats_row(self, carry: ALMCarry, ctrl: OuterCtrl):
         """Pack everything the host needs into one vector: 10 scalars
@@ -523,6 +621,8 @@ class ALMPhase:
         """
         row_len = 10 + sum(int(s[1]) * int(s[1]) for s in self.shapes)
         buf0 = jnp.zeros((max_outer, row_len), self.b.dtype)
+        # fresh per-dispatch work budget
+        ctrl = ctrl._replace(budget_start=ctrl.inner_total)
 
         def cond(st):
             carry, ctrl, j, buf = st
@@ -534,11 +634,20 @@ class ALMPhase:
                 carry, ctrl, mode=mode, early_stop=early_stop,
                 is_rank_max=is_rank_max, rank_thresh=rank_thresh,
                 max_alm_iter=max_alm_iter)
-            buf = buf.at[j].set(self._stats_row(carry, ctrl))
-            return carry, ctrl, j + 1, buf
+            # a YIELD exits mid-iteration: don't record a stats row for it
+            yielded = ctrl.code == CODE_YIELD
+            buf = jax.lax.cond(
+                yielded, lambda b: b,
+                lambda b: b.at[j].set(self._stats_row(carry, ctrl)), buf)
+            return carry, ctrl, j + jnp.where(yielded, 0, 1), buf
 
         carry, ctrl, j, buf = jax.lax.while_loop(
             cond, body, (carry, ctrl, jnp.asarray(0, jnp.int32), buf0))
+        # clear a YIELD so the next dispatch resumes transparently (the
+        # host just re-enters; `resuming` skips the per-iteration resets)
+        ctrl = ctrl._replace(code=jnp.where(
+            ctrl.code == CODE_YIELD, CODE_CONTINUE, ctrl.code)
+            .astype(jnp.int32))
         return carry, ctrl, j, buf
 
     # ------------------------------------------------------------------ #
@@ -593,6 +702,9 @@ class ALMPhase:
                 info.outer_iter = int(row[1])
                 info.inner_iter = int(row[2])
                 info.rank_flag = int(row[3])
+                info.pobj, info.dobj = float(row[4]), float(row[5])
+                info.pinf_l1, info.pinf_inf = float(row[6]), float(row[7])
+                info.gap, info.rho = float(row[8]), float(row[9])
                 if record_cb is not None and code in (CODE_CONTINUE,
                                                       CODE_CONVERGED):
                     grams = []

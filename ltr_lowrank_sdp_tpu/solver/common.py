@@ -98,7 +98,9 @@ def pad_rank_columns(F: jnp.ndarray, new_rank: int) -> jnp.ndarray:
         return F
     r = min(n, aug)
     pad = jnp.zeros((n, aug), F.dtype)
-    pad = pad.at[jnp.arange(r), jnp.arange(r)].set(1.0 / np.sqrt(r))
+    # plain-float fill value: an np.float64 scalar would trip the scatter
+    # dtype-promotion check under float32 compute
+    pad = pad.at[jnp.arange(r), jnp.arange(r)].set(float(1.0 / np.sqrt(r)))
     return jnp.concatenate([F, pad], axis=1)
 
 
@@ -184,8 +186,9 @@ def host_metrics_f64(prob, U, V, ulp, vlp, dual, obj_scale: float):
     dual64 = np.asarray(dual, np.float64)
     dobj = float(b @ dual64) / float(obj_scale)
     resid = b - cvals
-    pinf_l1 = float(np.linalg.norm(resid, 1)) / (1.0 + prob.b_nrm1)
-    pinf_inf = (float(np.max(np.abs(resid))) / (1.0 + prob.b_nrminf)
-                if m else 0.0)
+    # the reference's "L1" DIMACS error is ||resid||_2 / (1 + ||b||_1) and
+    # the Inf variant is derived by the norm ratio (main.c:485,523-525)
+    pinf_l1 = float(np.linalg.norm(resid)) / (1.0 + prob.b_nrm1)
+    pinf_inf = pinf_l1 * (1.0 + prob.b_nrm1) / (1.0 + prob.b_nrminf)
     gap = abs(pobj - dobj) / (1.0 + abs(pobj) + abs(dobj))
     return pobj, dobj, pinf_l1, pinf_inf, gap

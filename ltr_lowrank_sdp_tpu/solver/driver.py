@@ -114,37 +114,41 @@ class Solver:
 
     # ------------------------------------------------------------------ #
 
+    def _lanczos_k(self, ops) -> int:
+        return min(max(32, 2 * int(np.sqrt(ops.n)) + 20), 100)
+
     def _final_j(self):
         """One jitted executable for the whole end-of-solve device pass:
         every cone's dual-slack Lanczos recurrence, the LP dual column sums,
-        and the (U+V)/2 Gram matrices for final oracle rank — one dispatch;
-        only k-vectors and r x r Grams come back to the host."""
+        and the (U+V)/2 Gram matrices for final oracle rank — one dispatch
+        returning ONE packed blob (single host readback)."""
         if getattr(self, "_final_fn", None) is not None:
             return self._final_fn
 
         cones, lp, dtype = self.cones, self.lp, self.dtype
 
         def run(U, V, neg_lam, obj_scale, key):
-            outs = []
+            parts = []
             for i, ops in enumerate(cones):
                 def mv(y, ops=ops):
                     out = ops.apply_w(neg_lam, y[:, None],
                                       obj_coef=obj_scale, include_obj=True)
                     return out[:, 0]
 
-                k = min(max(32, 2 * int(np.sqrt(ops.n)) + 20), 100)
-                outs.append(lanczos_tridiag(
-                    mv, ops.n, jax.random.fold_in(key, i), num_iters=k,
-                    dtype=dtype))
+                alphas, betas = lanczos_tridiag(
+                    mv, ops.n, jax.random.fold_in(key, i),
+                    num_iters=self._lanczos_k(ops), dtype=dtype)
+                parts.extend([alphas, betas])
             lp_term = (
                 jnp.sum(jnp.abs(jnp.minimum(
                     lp.weighted_col_sums(neg_lam, obj_coef=obj_scale), 0.0)))
                 if lp is not None else jnp.asarray(0.0, dtype))
-            grams = [
-                jnp.matmul((0.5 * (u + v)).T, 0.5 * (u + v),
-                           preferred_element_type=dtype)
-                for u, v in zip(U, V)]
-            return outs, lp_term, grams
+            parts.append(lp_term[None])
+            for u, v in zip(U, V):
+                g = jnp.matmul((0.5 * (u + v)).T, 0.5 * (u + v),
+                               preferred_element_type=dtype)
+                parts.append(g.ravel())
+            return jnp.concatenate(parts)
 
         self._final_fn = jax.jit(run)
         return self._final_fn
@@ -161,17 +165,29 @@ class Solver:
             U = tuple(jnp.zeros((ops.n, 1), self.dtype) for ops in self.cones)
         if V is None:
             V = U
-        outs, lp_term, grams = self._final_j()(
+        blob = np.asarray(self._final_j()(
             U, V, -dual, jnp.asarray(obj_scale, self.dtype),
-            jax.random.PRNGKey(7))
+            jax.random.PRNGKey(7)))
         total = 0.0
-        for alphas, betas in outs:
+        off = 0
+        for ops in self.cones:
+            k = min(self._lanczos_k(ops), ops.n)
+            alphas = blob[off: off + k]
+            betas = blob[off + k: off + 2 * k]
+            off += 2 * k
             lam_min = tridiag_min_eig(alphas, betas)
             total += abs(min(lam_min, 0.0))
-        total += float(lp_term)
+        total += float(blob[off])
+        off += 1
+        grams = []
+        for u in U:
+            r = int(u.shape[1])
+            grams.append(blob[off: off + r * r].reshape(r, r)
+                         .astype(np.float64))
+            off += r * r
         total /= obj_scale
         total /= self.consts.c_nrm1 + 1.0
-        return total, [np.asarray(g, np.float64) for g in grams]
+        return total, grams
 
     # ------------------------------------------------------------------ #
 
@@ -211,6 +227,28 @@ class Solver:
         rho_max_cur = params.rho_max
         time_limit = False
         num_err = False
+        # host mirrors of traced scalars the control flow needs — kept in
+        # sync by construction so the driver never pays a device round-trip
+        # for a control decision (obj_scale only ever changes here)
+        obj_scale_h = 1.0
+        rho_h = rho0
+
+        def f64_check(admm_c):
+            """Re-evaluate the averaged ADMM iterate in f64 on the host
+            (see ADMMPhase.run: the f32 device gap has a summation noise
+            floor that can exceed phase2Tol on large instances)."""
+            U_h, V_h, ulp_h, vlp_h, dual_h = jax.device_get(
+                (admm_c.U, admm_c.V, admm_c.ulp, admm_c.vlp, admm_c.dual))
+            Ravg = tuple(0.5 * (np.asarray(u, np.float64)
+                                + np.asarray(v, np.float64))
+                         for u, v in zip(U_h, V_h))
+            rlp_avg = (0.5 * (np.asarray(ulp_h, np.float64)
+                              + np.asarray(vlp_h, np.float64))
+                       if ulp_h is not None else None)
+            return host_metrics_f64(prob, Ravg, Ravg, rlp_avg, rlp_avg,
+                                    dual_h, obj_scale_h)
+
+        f64_checker = f64_check if dtype != jnp.float64 else None
 
         def alm_record(row, k, inner, grams):
             logger.record_alm_row(row, k, inner, grams,
@@ -241,17 +279,18 @@ class Solver:
             if info.time_limit:
                 time_limit = True
                 break
+            if info.rho is not None:
+                rho_h = info.rho
             if info.rank_flag and not rank_state.is_rank_max:
                 changed = rank_state.escalate(params.rank_update_factor)
                 if not changed:
                     break
                 logger.log(f"increase the rank -> {rank_state.ranks}\n")
                 R_new = pad_factor_tuple(carry.R, rank_state.ranks)
-                rho_now, scale_now = _fetch(carry.rho, carry.obj_scale)
                 alm, admm = self.phases(rank_state.ranks)
                 carry = make_alm_carry(
-                    R_new, carry.rlp, prob.m, alm.n_elems, rho_now,
-                    params, dtype, dual=carry.dual, obj_scale=scale_now,
+                    R_new, carry.rlp, prob.m, alm.n_elems, rho_h,
+                    params, dtype, dual=carry.dual, obj_scale=obj_scale_h,
                 )
                 last_outer_start = alm_outer
                 continue
@@ -262,7 +301,7 @@ class Solver:
         mark("alm")
 
         # =============== handoff + Phase II: ADMM ======================= #
-        alm_rho, obj_scale_now = _fetch(carry.rho, carry.obj_scale)
+        alm_rho, obj_scale_now = rho_h, obj_scale_h
         admm_rho = alm_rho * params.heuristic_factor
         if alm_rho > rho_max_cur:
             admm_rho = min(
@@ -280,15 +319,22 @@ class Solver:
             pinf_l1=carry.pinf_l1, pinf_inf=carry.pinf_inf, gap=carry.gap)
         mark("handoff")
 
+        # host mirrors of the phase-exit metrics for control decisions
+        alm_gap_h, alm_pinf_h = info.gap, info.pinf_l1
+        admm_gap_h = admm_pinf_h = None
+
         admm_bad_iter = False
         if not time_limit and not num_err:
             admm_carry, admm_rho, admm_it, ainfo = admm.run(
                 admm_carry, admm_rho, 0, params.max_admm_iter, t0,
-                mode="main", record_cb=admm_record, rho_max=rho_max_cur)
+                mode="main", record_cb=admm_record, rho_max=rho_max_cur,
+                entry_gap=alm_gap_h, entry_pinf=alm_pinf_h,
+                f64_check=f64_checker)
             cg_total += ainfo.cg_iters_total
             admm_bad_iter = ainfo.bad_iter
             time_limit = time_limit or ainfo.time_limit
             num_err = num_err or ainfo.num_err
+            admm_gap_h, admm_pinf_h = ainfo.last_gap, ainfo.last_pinf
         mark("admm")
 
         # =============== reopt rounds =================================== #
@@ -305,10 +351,13 @@ class Solver:
         def do_reopt(c_alm, c_admm, reopt_alm_iter, reopt_admm_iter, level):
             nonlocal alm_outer, alm_inner_total, admm_it, cg_total
             nonlocal rho_max_cur, admm_rho, admm_bad_iter, time_limit, num_err
+            nonlocal obj_scale_h, alm_gap_h, alm_pinf_h
+            nonlocal admm_gap_h, admm_pinf_h
             p = params
             scale = 5.0
             c_alm = c_alm._replace(
                 obj_scale=c_alm.obj_scale * scale, dual=c_alm.dual * scale)
+            obj_scale_h *= scale
             if admm_rho <= rho_max_cur:
                 c_alm = c_alm._replace(
                     rho=jnp.maximum(jnp.asarray(admm_rho, dtype), c_alm.rho))
@@ -323,7 +372,12 @@ class Solver:
             alm_inner_total += info.inner_iter
             num_err = num_err or info.num_err
             time_limit = time_limit or info.time_limit
-            alm_rho2, scale2 = _fetch(carry2.rho, carry2.obj_scale)
+            if info.rho is not None:
+                alm_rho2 = info.rho
+            else:
+                alm_rho2 = _fetch(carry2.rho)[0]
+            alm_gap_h, alm_pinf_h = info.gap, info.pinf_l1
+            scale2 = obj_scale_h
             rho_max_cur = max(
                 np.sqrt(max(admm_rho, alm_rho2) / admm_rho) * admm_rho,
                 rho_max_cur)
@@ -343,12 +397,15 @@ class Solver:
                 ceiling = max(ceiling, admm_it + reopt_admm_iter)
                 c_admm, rho2, admm_it2, ainfo = admm.run(
                     c_admm, rho2, admm_it, ceiling, t0, mode="reopt",
-                    record_cb=admm_record, rho_max=rho_max_cur)
+                    record_cb=admm_record, rho_max=rho_max_cur,
+                    entry_gap=alm_gap_h, entry_pinf=alm_pinf_h,
+                    f64_check=f64_checker)
                 cg_total += ainfo.cg_iters_total
                 admm_bad_iter = ainfo.bad_iter
                 time_limit = time_limit or ainfo.time_limit
                 num_err = num_err or ainfo.num_err
                 admm_it = admm_it2
+                admm_gap_h, admm_pinf_h = ainfo.last_gap, ainfo.last_pinf
             admm_rho = rho2
             return carry2, c_admm
 
@@ -359,9 +416,13 @@ class Solver:
         if p.reopt_level >= 1 and not time_limit and not num_err:
             cnt = 0
             while True:
-                a_gap, a_pinf, d_gap, d_pinf = _fetch(
-                    carry.gap, carry.pinf_l1, admm_carry.gap,
-                    admm_carry.pinf_l1)
+                if None in (alm_gap_h, alm_pinf_h, admm_gap_h, admm_pinf_h):
+                    a_gap, a_pinf, d_gap, d_pinf = _fetch(
+                        carry.gap, carry.pinf_l1, admm_carry.gap,
+                        admm_carry.pinf_l1)
+                else:
+                    a_gap, a_pinf = alm_gap_h, alm_pinf_h
+                    d_gap, d_pinf = admm_gap_h, admm_pinf_h
                 if not ((a_gap > p.phase2_tol or a_pinf > p.phase2_tol)
                         and (d_gap > p.phase2_tol or d_pinf > p.phase2_tol)):
                     break
@@ -379,7 +440,7 @@ class Solver:
         mark("reopt1")
 
         # dual infeasibility certification
-        scale_now = _fetch(admm_carry.obj_scale)[0]
+        scale_now = obj_scale_h
         dinf_l1, final_grams = self.dual_infeasibility(
             admm_carry.dual, scale_now, admm_carry.U, admm_carry.V)
         dinf_inf = dinf_l1 * (1 + self.consts.c_nrm1) / (
@@ -389,7 +450,10 @@ class Solver:
         if p.reopt_level >= 2 and not time_limit and not num_err:
             dual_cnt = 0
             while True:
-                d_gap, d_pinf = _fetch(admm_carry.gap, admm_carry.pinf_l1)
+                if None in (admm_gap_h, admm_pinf_h):
+                    d_gap, d_pinf = _fetch(admm_carry.gap, admm_carry.pinf_l1)
+                else:
+                    d_gap, d_pinf = admm_gap_h, admm_pinf_h
                 if not (dinf_l1 > p.phase2_tol or d_gap > p.phase2_tol
                         or d_pinf > p.phase2_tol):
                     break
@@ -409,7 +473,9 @@ class Solver:
                     lp_avg = 0.5 * (admm_carry.ulp + admm_carry.vlp)
                     admm_carry = admm_carry._replace(ulp=lp_avg, vlp=lp_avg)
                 admm_carry = admm._metrics_j(admm_carry)
-                scale_now = _fetch(admm_carry.obj_scale)[0]
+                # metrics changed on device: invalidate the host mirrors
+                admm_gap_h = admm_pinf_h = None
+                scale_now = obj_scale_h
                 dinf_l1, final_grams = self.dual_infeasibility(
                     admm_carry.dual, scale_now, admm_carry.U, admm_carry.V)
                 dinf_inf = dinf_l1 * (1 + self.consts.c_nrm1) / (
@@ -422,22 +488,26 @@ class Solver:
         mark("reopt2")
 
         # =============== status + outputs =============================== #
-        gap, pinf_l1, pinf_inf, pobj, dobj = _fetch(
-            admm_carry.gap, admm_carry.pinf_l1, admm_carry.pinf_inf,
-            admm_carry.pobj, admm_carry.dobj)
+        # ONE batched device->host pull of everything the outputs need
+        (gap, pinf_l1, pinf_inf, pobj, dobj, U_h, V_h, ulp_h, vlp_h,
+         dual_h) = jax.device_get((
+             admm_carry.gap, admm_carry.pinf_l1, admm_carry.pinf_inf,
+             admm_carry.pobj, admm_carry.dobj, admm_carry.U, admm_carry.V,
+             admm_carry.ulp, admm_carry.vlp, admm_carry.dual))
+        gap, pinf_l1, pinf_inf = float(gap), float(pinf_l1), float(pinf_inf)
+        pobj, dobj = float(pobj), float(dobj)
         if dtype != jnp.float64:
             # re-verify the final iterate in f64 on the host: f32 device
             # metrics sit at the f32 noise floor (the reference reports
             # all-double DIMACS errors, main.c:592-602)
             Ravg = tuple(0.5 * (np.asarray(u, np.float64)
                                 + np.asarray(v, np.float64))
-                         for u, v in zip(admm_carry.U, admm_carry.V))
-            rlp_avg = (0.5 * (np.asarray(admm_carry.ulp, np.float64)
-                              + np.asarray(admm_carry.vlp, np.float64))
-                       if admm_carry.ulp is not None else None)
+                         for u, v in zip(U_h, V_h))
+            rlp_avg = (0.5 * (np.asarray(ulp_h, np.float64)
+                              + np.asarray(vlp_h, np.float64))
+                       if ulp_h is not None else None)
             pobj, dobj, pinf_l1, pinf_inf, gap = host_metrics_f64(
-                prob, Ravg, Ravg, rlp_avg, rlp_avg, admm_carry.dual,
-                _fetch(admm_carry.obj_scale)[0])
+                prob, Ravg, Ravg, rlp_avg, rlp_avg, dual_h, obj_scale_h)
 
         if dinf_l1 <= 5 * p.phase2_tol and gap <= 5 * p.phase2_tol and \
                 pinf_l1 <= p.phase2_tol:
