@@ -11,12 +11,16 @@ The reference implements them per-coefficient through a vtable
 ``sdpDataWSum``) with BLAS calls per constraint.  Here they are re-designed as
 *whole-cone* vectorized kernels over stacked COO triplets:
 
-* constraint values  = gather factor rows -> fused multiply -> segment-sum
-  over the (pre-sorted) constraint ids;
-* adjoint application = per-entry weights -> two scatter-adds (rows / cols)
-  with pre-sorted segment ids, or a dense n x n materialization followed by
+* constraint values  = gather factor rows -> fused multiply -> bucketed-ELL
+  gather reduction over constraint ids (``ops/gatherseg.py``);
+* adjoint application = gather-based SpMM over the symmetrized static
+  pattern (:class:`EllSpMM`), or a dense n x n materialization followed by
   an MXU matmul when the union pattern is dense (mirroring the reference
   presolve decision, ``lorads_sdp_conic.c:1185-1392``).
+
+No scatter-adds appear anywhere on the iteration path — XLA lowers scatter
+to a serialized per-update loop on TPU, so every segment reduction is
+re-expressed as static gathers (see ``gatherseg.py``).
 
 A ``diag`` fast path covers MaxCut-family cones (every constraint a single
 diagonal entry, cf. ``detectMaxCutProb``, ``lorads_solver.c:472-497``) where
@@ -37,12 +41,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..problem import ConeData, LPConeData, SDPProblem
-
-
-def _segsum(vals, ids, num, sorted_ids=True):
-    return jax.ops.segment_sum(
-        vals, ids, num_segments=num, indices_are_sorted=sorted_ids
-    )
+from .gatherseg import EllSegSum, EllSpMM
 
 
 class _SparseSym:
@@ -64,16 +63,7 @@ class _SparseSym:
         off = rows != cols
         # off-diagonal entries count twice in <A, X> for symmetric X
         self.double_coef = jnp.asarray(np.where(off, 2.0 * vals, vals), dtype)
-        self.off_mask = jnp.asarray(off.astype(np.float64), dtype)
-        # scatter permutations sorted by target index for sorted segment sums
-        pr = np.argsort(rows, kind="stable")
-        pc = np.argsort(cols, kind="stable")
-        self.perm_r = jnp.asarray(pr, jnp.int32)
-        self.perm_c = jnp.asarray(pc, jnp.int32)
-        self.rows_sorted = jnp.asarray(rows[pr], jnp.int32)
-        self.cols_sorted = jnp.asarray(cols[pc], jnp.int32)
-        self.cols_by_r = jnp.asarray(cols[pr], jnp.int32)
-        self.rows_by_c = jnp.asarray(rows[pc], jnp.int32)
+        self.spmm = EllSpMM(rows, cols, n) if self.nnz else None
 
     def contract(self, U, V):
         """Per-entry e = <sym(UV^T)>[row, col] * val * (2 if offdiag else 1).
@@ -91,14 +81,10 @@ class _SparseSym:
         """S @ Y with S = sum of symmetric entries weighted by w_entry.
 
         w_entry is the (nnz,) per-entry weight val_i * w[cid_i] (already
-        including the matrix value).
+        including the matrix value).  Fully gather-based (bucketed ELL over
+        the symmetrized pattern) — no scatter on TPU.
         """
-        n = self.n
-        wr = w_entry[self.perm_r]
-        out = _segsum(wr[:, None] * Y[self.cols_by_r], self.rows_sorted, n)
-        wc = (w_entry * self.off_mask)[self.perm_c]
-        out = out + _segsum(wc[:, None] * Y[self.rows_by_c], self.cols_sorted, n)
-        return out
+        return self.spmm(w_entry, Y)
 
 
 class ConeOps:
@@ -119,7 +105,8 @@ class ConeOps:
             cone.c_rows, cone.c_cols, cone.c_vals, None, n, n, dtype
         )
         self.c_dense = None
-        if cone.kind_c == "dense":
+        # materialize dense C whenever any dense compute path will need it
+        if cone.kind_c == "dense" or cone.kind_a == "dense":
             C = np.zeros((n, n))
             np.add.at(C, (cone.c_rows, cone.c_cols), cone.c_vals)
             off = cone.c_rows != cone.c_cols
@@ -133,12 +120,38 @@ class ConeOps:
             self.diag_idx = jnp.asarray(cone.diag_idx, jnp.int32)
             self.diag_val = jnp.asarray(cone.diag_val, dtype)
             self.diag_cid = jnp.asarray(cone.diag_cid, jnp.int32)
+            self.diag_seg = EllSegSum(
+                cone.diag_cid, int(cone.diag_cid.size), cone.m)
+            self.diag_row_seg = EllSegSum(
+                cone.diag_idx, int(cone.diag_idx.size), n)
         else:
             self.a_sparse = _SparseSym(
                 cone.a_rows, cone.a_cols, cone.a_vals, cone.a_cid,
                 n, cone.m, dtype,
             )
             self.a_cid = jnp.asarray(cone.a_cid, jnp.int32)
+            self.a_seg = EllSegSum(cone.a_cid, int(cone.a_cid.size), cone.m)
+
+        # dense S = obj*C + A*(w) path: precompute a gather layout that
+        # densifies the weighted constraint entries without any scatter
+        # (an EllSegSum whose segments are the n*n grid cells; empty cells
+        # ride the zero bucket).
+        self.a_dense_seg = None
+        if cone.kind_a == "dense" or (
+            cone.kind_c == "dense" and cone.kind_a != "diag"
+        ):
+            if cone.a_rows.size:
+                offa = cone.a_rows != cone.a_cols
+                slot_lin = np.concatenate([
+                    cone.a_rows.astype(np.int64) * n + cone.a_cols,
+                    (cone.a_cols[offa].astype(np.int64) * n
+                     + cone.a_rows[offa]),
+                ])
+                self.a_dense_seg = EllSegSum(slot_lin, slot_lin.size, n * n)
+                self.a_slot_vals = jnp.asarray(
+                    np.concatenate([cone.a_vals, cone.a_vals[offa]]), dtype)
+                self.a_slot_cid = jnp.asarray(
+                    np.concatenate([cone.a_cid, cone.a_cid[offa]]), jnp.int32)
 
     # ------------------------------------------------------------------ #
 
@@ -146,16 +159,13 @@ class ConeOps:
         """A(sym(UV^T)) as a global (m,) vector (zeros off-cone)."""
         if self.kind_a == "diag":
             e = jnp.sum(U[self.diag_idx] * V[self.diag_idx], axis=-1)
-            out = jnp.zeros(self.m, self.dtype).at[self.diag_cid].add(
-                self.diag_val * e
-            )
-            return out
+            return self.diag_seg(self.diag_val * e)
         contrib = self.a_sparse.contract(U, V)
-        return _segsum(contrib, self.a_cid, self.m)
+        return self.a_seg(contrib)
 
     def obj_value(self, U, V):
         """<C, sym(UV^T)>."""
-        if self.c_dense is not None:
+        if self.kind_c == "dense" and self.c_dense is not None:
             # C symmetric => tr(C sym(UV^T)) = vdot(U, C @ V) averaged with
             # its transpose-pair; both are equal for symmetric C.
             CV = jnp.dot(self.c_dense, V, preferred_element_type=self.dtype)
@@ -179,30 +189,19 @@ class ConeOps:
             self.kind_c == "dense" and self.kind_a != "diag"
         ):
             n = self.n
-            S = jnp.zeros((n, n), self.dtype)
-            if self.a_sparse is not None and self.a_sparse.nnz:
-                sp = self.a_sparse
-                wv = sp.vals * w[self.cid_for_entries()]
-                S = S.at[sp.rows, sp.cols].add(wv)
-                off = sp.rows != sp.cols
-                S = S.at[sp.cols, sp.rows].add(jnp.where(off, wv, 0.0))
+            if self.a_dense_seg is not None:
+                wv = self.a_slot_vals * w[self.a_slot_cid]
+                S = self.a_dense_seg(wv).reshape(n, n)
+            else:
+                S = jnp.zeros((n, n), self.dtype)
             if include_obj:
-                if self.c_dense is not None:
-                    S = S + obj_coef * self.c_dense
-                elif self.c_sparse.nnz:
-                    cs = self.c_sparse
-                    S = S.at[cs.rows, cs.cols].add(obj_coef * cs.vals)
-                    offc = cs.rows != cs.cols
-                    S = S.at[cs.cols, cs.rows].add(
-                        jnp.where(offc, obj_coef * cs.vals, 0.0)
-                    )
+                # c_dense is always materialized when this path is active
+                S = S + obj_coef * self.c_dense
             return jnp.dot(S, Y, preferred_element_type=self.dtype)
 
         # sparse / diag paths
         if self.kind_a == "diag":
-            d = jnp.zeros(self.n, self.dtype).at[self.diag_idx].add(
-                self.diag_val * w[self.diag_cid]
-            )
+            d = self.diag_row_seg(self.diag_val * w[self.diag_cid])
             out = d[:, None] * Y
         elif self.a_sparse is not None and self.a_sparse.nnz:
             wv = self.a_sparse.vals * w[self.a_cid]
@@ -245,13 +244,13 @@ class LPOps:
         self.cid = jnp.asarray(lp.cid, jnp.int32)
         self.vals = jnp.asarray(lp.vals, dtype)
         self.nrm2sq = jnp.asarray(lp.nrm2sq, dtype)
+        self.cid_seg = EllSegSum(lp.cid, int(lp.cid.size), lp.m)
+        self.col_seg = EllSegSum(lp.col, int(lp.col.size), lp.n_cols)
 
     def constr_vals(self, u, v):
         """A_lp(diag(u v)) as a global (m,) vector."""
         x = u * v
-        return jnp.zeros(self.m, self.dtype).at[self.cid].add(
-            self.vals * x[self.col]
-        )
+        return self.cid_seg(self.vals * x[self.col])
 
     def obj_value(self, u, v):
         return jnp.vdot(self.c, u * v)
@@ -259,10 +258,7 @@ class LPOps:
     def weighted_col_sums(self, w, obj_coef=1.0):
         """Per-column (obj_coef*c_j + sum_i w_i A_ij) — the LP analog of
         C + A*(w)."""
-        out = obj_coef * self.c + jnp.zeros(
-            self.n_cols, self.dtype
-        ).at[self.col].add(self.vals * w[self.cid])
-        return out
+        return obj_coef * self.c + self.col_seg(self.vals * w[self.cid])
 
 
 def build_cone_ops(prob: SDPProblem, dtype=jnp.float64):

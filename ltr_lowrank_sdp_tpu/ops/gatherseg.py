@@ -1,0 +1,166 @@
+"""Gather-based segment reductions (TPU-friendly replacements for scatter).
+
+XLA lowers ``jax.ops.segment_sum`` / ``.at[].add`` to scatter-add, which on
+TPU serializes over the updates dimension and is routinely 10-100x slower
+than a gather of the same volume.  Every segment reduction in the conic
+operators (A(sym(UV^T)) accumulation over constraint ids, the adjoint SpMM
+S·Y with S = Sum_i w_i A_i, LP column sums) has a *static* index structure
+known at build time, so each can be re-expressed as pure gathers:
+
+1. sort entries by target segment (host-side, once);
+2. bucket segments by ceil-pow2 of their entry count;
+3. per bucket, pad entries into an ELL table (n_b, K_b) of entry indices
+   (padding points at a trailing zero slot), so the reduction is
+   ``vals_ext[table].sum(axis=1)`` — one gather + one dense reduction;
+4. re-assemble the segment axis with one inverse-permutation gather.
+
+Pow2 bucketing bounds the padding blow-up at 2x per bucket while keeping the
+number of launched gathers at O(log(max_degree)); heavily skewed degree
+distributions (amazon0302-style power laws) stay nnz-proportional.
+
+This is the TPU-native re-design of the reference's per-coefficient BLAS
+vtable dispatch (``lorads_sdp_data.c:750-1049``): instead of one small
+kernel per constraint matrix, the whole cone becomes a handful of large,
+layout-aligned gathers the VPU streams at HBM bandwidth.
+"""
+
+from __future__ import annotations
+
+from typing import List, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def _bucket_layout(ids: np.ndarray, length: int, num: int):
+    """Static bucketed-ELL layout for a segment reduction.
+
+    Returns ``(tables, seg_lists, pos)`` where ``tables[b]`` is an
+    (n_b, K_b) int32 array of entry indices into the value vector (padding
+    = ``length``, a zero slot), ``seg_lists[b]`` the segment ids of its
+    rows, and ``pos`` the (num,) gather map from segment id to its row in
+    the concatenated bucket outputs.
+    """
+    ids = np.asarray(ids, np.int64)
+    counts = np.bincount(ids, minlength=num).astype(np.int64)
+    order = np.argsort(ids, kind="stable")  # entries grouped by segment
+    starts = np.zeros(num + 1, np.int64)
+    starts[1:] = np.cumsum(counts)
+
+    # bucket key: 0 for empty segments, else ceil-pow2 exponent of count
+    keys = np.zeros(num, np.int64)
+    nz = counts > 0
+    keys[nz] = np.ceil(np.log2(counts[nz])).astype(np.int64) + 1
+    keys[nz & (counts == 1)] = 1
+
+    seg_by_key = np.argsort(keys, kind="stable")
+    sorted_keys = keys[seg_by_key]
+
+    tables: List[np.ndarray] = []
+    seg_lists: List[np.ndarray] = []
+    pos = np.zeros(num, np.int64)
+    cursor = 0
+    out_row = 0
+    while cursor < num:
+        k = sorted_keys[cursor]
+        end = cursor + np.searchsorted(sorted_keys[cursor:], k, side="right")
+        segs = seg_by_key[cursor:end]
+        pos[segs] = out_row + np.arange(segs.size)
+        out_row += segs.size
+        if k == 0:
+            tables.append(np.zeros((segs.size, 0), np.int64))
+        else:
+            K = 1 << (int(k) - 1)
+            tab = np.full((segs.size, K), length, np.int64)
+            csum = counts[segs]
+            row = np.repeat(np.arange(segs.size), csum)
+            within = np.arange(csum.sum()) - np.repeat(
+                np.cumsum(csum) - csum, csum)
+            src_pos = np.repeat(starts[segs], csum) + within
+            tab[row, within] = order[src_pos]
+            tables.append(tab)
+        seg_lists.append(segs)
+        cursor = end
+    return tables, seg_lists, pos
+
+
+class EllSegSum:
+    """Segment sum of per-entry scalars via bucketed-ELL gathers.
+
+    ``__call__(vals)`` with vals of shape (L,) returns the (num,) segment
+    sums; trailing dims are supported (vals (L, d) -> (num, d)).
+    """
+
+    def __init__(self, ids: np.ndarray, length: int, num: int):
+        self.length = int(length)
+        self.num = int(num)
+        tables, _, pos = _bucket_layout(ids, length, num)
+        self.tables = [jnp.asarray(t, jnp.int32) for t in tables]
+        self.pos = jnp.asarray(pos, jnp.int32)
+
+    def __call__(self, vals):
+        pad_shape = (1,) + vals.shape[1:]
+        vals_ext = jnp.concatenate(
+            [vals, jnp.zeros(pad_shape, vals.dtype)], axis=0)
+        parts = []
+        for tab in self.tables:
+            if tab.shape[1] == 0:
+                parts.append(jnp.zeros((tab.shape[0],) + vals.shape[1:],
+                                       vals.dtype))
+            else:
+                parts.append(jnp.sum(vals_ext[tab], axis=1))
+        cat = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
+        return cat[self.pos]
+
+
+class EllSpMM:
+    """Y -> S @ Y for S = Sum_e w_e * sym_slot(e), fully gather-based.
+
+    Built from symmetric COO triplets (upper triangle, row <= col); the
+    per-entry weights ``w_entry`` (length nnz) vary per call (they carry
+    both the matrix values and the constraint weights).  Per output row:
+
+        out[i] = Sum_slots(i)  w_ext[src] * Y[col]
+
+    where the slot tables enumerate the *symmetrized* pattern.
+    """
+
+    def __init__(self, rows: np.ndarray, cols: np.ndarray, n: int):
+        rows = np.asarray(rows, np.int64)
+        cols = np.asarray(cols, np.int64)
+        nnz = rows.size
+        self.nnz = int(nnz)
+        self.n = int(n)
+        off = rows != cols
+        slot_row = np.concatenate([rows, cols[off]])
+        slot_col = np.concatenate([cols, rows[off]])
+        slot_src = np.concatenate([np.arange(nnz), np.arange(nnz)[off]])
+        tables, _, pos = _bucket_layout(slot_row, slot_row.size, n)
+        # resolve slot-index tables into (src, col) tables; padding slot
+        # maps to src=nnz (zero-extended weight) and col=0 (weight 0 kills it)
+        slot_src_ext = np.concatenate([slot_src, [nnz]])
+        slot_col_ext = np.concatenate([slot_col, [0]])
+        self.src_tabs = [jnp.asarray(slot_src_ext[t], jnp.int32)
+                         for t in tables]
+        self.col_tabs = [jnp.asarray(slot_col_ext[t], jnp.int32)
+                         for t in tables]
+        self.pos = jnp.asarray(pos, jnp.int32)
+        # total padded slots (for flop/bandwidth accounting)
+        self.padded_slots = int(sum(t.size for t in tables))
+
+    def __call__(self, w_entry, Y):
+        w_ext = jnp.concatenate(
+            [w_entry, jnp.zeros((1,), w_entry.dtype)], axis=0)
+        r = Y.shape[1]
+        parts = []
+        for src_tab, col_tab in zip(self.src_tabs, self.col_tabs):
+            if src_tab.shape[1] == 0:
+                parts.append(jnp.zeros((src_tab.shape[0], r), Y.dtype))
+            else:
+                w_slot = w_ext[src_tab]                     # (n_b, K)
+                yg = Y[col_tab]                              # (n_b, K, r)
+                parts.append(jnp.einsum(
+                    "bk,bkr->br", w_slot, yg,
+                    preferred_element_type=Y.dtype))
+        cat = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
+        return cat[self.pos]
