@@ -173,6 +173,21 @@ class ConeOps:
                 self.c_dense, U, preferred_element_type=self.dtype)))
         return jnp.sum(self.c_sparse.contract(U, V))
 
+    def apply_c(self, Y):
+        """C @ Y (C symmetric) — the objective-only half of ``apply_w``.
+
+        Used by the ALM inner loop to carry C·R across iterations: with the
+        line-search direction D, one C·D gives both line-search objective
+        coefficients (<C,sym(RDᵀ)> = <R, C·D>, <C,sym(DDᵀ)> = <D, C·D>) and
+        the incremental gradient update C·(R+τD) = C·R + τ·C·D, removing
+        the per-iteration objective gathers/SpMM entirely.
+        """
+        if self.c_dense is not None:
+            return jnp.dot(self.c_dense, Y, preferred_element_type=self.dtype)
+        if self.c_sparse.nnz:
+            return self.c_sparse.apply_weighted(self.c_sparse.vals, Y)
+        return jnp.zeros_like(Y)
+
     def apply_w(self, w, Y, obj_coef=1.0, include_obj=None):
         """(obj_coef*C + A*(w)) @ Y  — the ``mul_rk`` hot kernel.
 

@@ -67,6 +67,7 @@ class ALMCarry(NamedTuple):
     rlp: Optional[jnp.ndarray]
     dual: jnp.ndarray
     constr_sum: jnp.ndarray
+    CR: Tuple[jnp.ndarray, ...]  # C @ R_k per cone, maintained incrementally
     grad: Tuple[jnp.ndarray, ...]
     grad_lp: Optional[jnp.ndarray]
     hist: lbfgs_mod.LBFGSHistory
@@ -222,6 +223,7 @@ class ALMPhase:
         grads, grad_lp, gsq = alm_gradient(
             self.cones, self.lp, carry.R, carry.rlp, carry.dual,
             carry.constr_sum, self.b, carry.rho, carry.obj_scale,
+            CR=carry.CR,
         )
         cert = jnp.sqrt(gsq) / (1.0 + self.consts.c_nrminf)
         return carry._replace(grad=grads, grad_lp=grad_lp, cert_val=cert)
@@ -250,7 +252,8 @@ class ALMPhase:
 
     def _prepare_graph(self, carry: ALMCarry) -> ALMCarry:
         carry = self._metrics(carry)
-        carry = carry._replace(cert_tol=0.1 / carry.rho)
+        CR = tuple(ops.apply_c(r) for ops, r in zip(self.cones, carry.R))
+        carry = carry._replace(cert_tol=0.1 / carry.rho, CR=CR)
         return self._grad_cert(carry)
 
     # ---------------- inner descent loop (one sub-loop pass) ----------- #
@@ -283,8 +286,26 @@ class ALMPhase:
             D, dlp = unflatten_factors(D_flat, self.shapes, self.has_lp)
 
             q0 = self.b - c.constr_sum
-            oRD, cRD = self._obj_and_constr(c.R, D, c.rlp, dlp)
-            oDD, cDD = self._obj_and_constr(D, D, dlp, dlp)
+            # ONE C·D per cone yields both objective line-search terms
+            # (<C,sym(RDᵀ)> = <R,C·D>, <C,sym(DDᵀ)> = <D,C·D> for symmetric
+            # C) and the incremental CR update below — no per-entry
+            # objective gathers on the inner path.
+            CD = tuple(ops.apply_c(d) for ops, d in zip(self.cones, D))
+            oRD = sum((jnp.vdot(r, cd) for r, cd in zip(c.R, CD)),
+                      jnp.asarray(0.0, dtype))
+            oDD = sum((jnp.vdot(d, cd) for d, cd in zip(D, CD)),
+                      jnp.asarray(0.0, dtype))
+            if self.has_lp:
+                oRD = oRD + self.lp.obj_value(c.rlp, dlp)
+                oDD = oDD + self.lp.obj_value(dlp, dlp)
+                cRD = self.lp.constr_vals(c.rlp, dlp)
+                cDD = self.lp.constr_vals(dlp, dlp)
+            else:
+                cRD = jnp.zeros_like(self.b)
+                cDD = jnp.zeros_like(self.b)
+            for ops, r, d in zip(self.cones, c.R, D):
+                cRD = cRD + ops.constr_vals(r, d)
+                cDD = cDD + ops.constr_vals(d, d)
             p1 = 2.0 * oRD * c.obj_scale
             q1 = 2.0 * cRD
             p2 = oDD * c.obj_scale
@@ -313,9 +334,17 @@ class ALMPhase:
                 lambda _: self._constr_only(R_new, R_new, rlp_new, rlp_new),
                 lambda _: cvals_cheap, None)
 
+            # incremental C·R update rides the same drift-bounding refresh
+            CR_new = jax.lax.cond(
+                refresh,
+                lambda _: tuple(ops.apply_c(r)
+                                for ops, r in zip(self.cones, R_new)),
+                lambda _: tuple(cr + tau_eff * cd
+                                for cr, cd in zip(c.CR, CD)), None)
+
             grads, grad_lp, gsq = alm_gradient(
                 self.cones, self.lp, R_new, rlp_new, c.dual, cvals, self.b,
-                c.rho, c.obj_scale,
+                c.rho, c.obj_scale, CR=CR_new,
             )
             cert = jnp.sqrt(gsq) / (1.0 + self.consts.c_nrminf)
             grad_flat_new = flatten_factors(grads, grad_lp)
@@ -335,9 +364,9 @@ class ALMPhase:
             early = early & do_update
 
             c = c._replace(
-                R=R_new, rlp=rlp_new, constr_sum=cvals, grad=grads,
-                grad_lp=grad_lp, hist=hist, cert_val=cert, pinf_l1=pinf,
-                pinf_inf=pinf_inf,
+                R=R_new, rlp=rlp_new, constr_sum=cvals, CR=CR_new,
+                grad=grads, grad_lp=grad_lp, hist=hist, cert_val=cert,
+                pinf_l1=pinf, pinf_inf=pinf_inf,
             )
             return (c, local_iter + 1, clear + 1, num_err, tau_small, early)
 
@@ -739,6 +768,7 @@ def make_alm_carry(
         rlp=rlp,
         dual=jnp.zeros(m, dtype) if dual is None else dual,
         constr_sum=jnp.zeros(m, dtype),
+        CR=tuple(jnp.zeros_like(r) for r in R),  # prepare() fills this
         grad=tuple(jnp.zeros_like(r) for r in R),
         grad_lp=jnp.zeros_like(rlp) if rlp is not None else None,
         hist=lbfgs_mod.init_history(n_elems, params.lbfgs_list_length, dtype),

@@ -110,18 +110,29 @@ def pad_rank_columns(F: jnp.ndarray, new_rank: int) -> jnp.ndarray:
 
 
 def alm_gradient(cones: List[ConeOps], lp: Optional[LPOps], R: Factors, rlp,
-                 dual, constr_sum, b, rho, obj_scale=1.0):
+                 dual, constr_sum, b, rho, obj_scale=1.0, CR=None):
     """grad of L_rho = 2 (obj_scale*C + A*(w)) R with
     w = -lambda + rho (A(X) - b).
 
     Reference ``ALMSetGrad`` (``lorads_alm.c:32-61``).  Returns
     (grad_factors, grad_lp, ||grad||^2).
+
+    When ``CR`` (a tuple of precomputed C·R_k per cone) is given, the
+    objective term reuses it instead of re-applying C — the ALM inner loop
+    maintains CR incrementally (C·(R+τD) = C·R + τ·C·D).
     """
     w = -dual + rho * (constr_sum - b)
-    grads = tuple(
-        2.0 * ops.apply_w(w, r, obj_coef=obj_scale, include_obj=True)
-        for ops, r in zip(cones, R)
-    )
+    if CR is None:
+        grads = tuple(
+            2.0 * ops.apply_w(w, r, obj_coef=obj_scale, include_obj=True)
+            for ops, r in zip(cones, R)
+        )
+    else:
+        grads = tuple(
+            2.0 * (obj_scale * cr
+                   + ops.apply_w(w, r, include_obj=False))
+            for ops, r, cr in zip(cones, R, CR)
+        )
     norm_sq = sum(jnp.vdot(g, g) for g in grads)
     grad_lp = None
     if lp is not None and rlp is not None:
