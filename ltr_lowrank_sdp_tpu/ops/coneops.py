@@ -22,10 +22,22 @@ No scatter-adds appear anywhere on the iteration path — XLA lowers scatter
 to a serialized per-update loop on TPU, so every segment reduction is
 re-expressed as static gathers (see ``gatherseg.py``).
 
-A ``diag`` fast path covers MaxCut-family cones (every constraint a single
-diagonal entry, cf. ``detectMaxCutProb``, ``lorads_solver.c:472-497``) where
-both ops collapse to row-norm reductions and a diagonal scale - no gathers at
-all.
+Because an XLA gather costs ~7 ns per index regardless of row width, the
+layout is chosen once at build time to *minimize gather indices* on the
+iteration path:
+
+* the objective C's values are static across a solve, so they are baked
+  into dense ELL value tables — ``apply_c`` gathers only Y rows;
+* with ``relabel=True`` the cone renumbers its vertex space to the SpMM
+  bucket order (``spmm_relabel_order``) so the SpMM's output permutation
+  is the identity.  Callers then hold factors in *internal* row order and
+  convert at the problem boundary (``row_order`` / ``permute_rows_in`` /
+  ``permute_rows_out``);
+* for single-cone problems the constraint space can be relabeled too
+  (``constr_order``): a MaxCut-family diag cone (every constraint one
+  diagonal entry, cf. ``detectMaxCutProb``, ``lorads_solver.c:472-497``)
+  then runs both hot ops with ZERO gathers — constraint values are
+  ``diag_val * rowsum(U*V)`` and the adjoint is a row scale.
 
 All index arrays are device-resident and sorted at build time so XLA can use
 `indices_are_sorted` segment reductions.
@@ -34,14 +46,14 @@ All index arrays are device-resident and sorted at build time so XLA can use
 from __future__ import annotations
 
 from functools import partial
-from typing import List, Optional
+from typing import List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ..problem import ConeData, LPConeData, SDPProblem
-from .gatherseg import EllSegSum, EllSpMM
+from .gatherseg import EllSegSum, EllSpMM, spmm_relabel_order
 
 
 class _SparseSym:
@@ -63,7 +75,8 @@ class _SparseSym:
         off = rows != cols
         # off-diagonal entries count twice in <A, X> for symmetric X
         self.double_coef = jnp.asarray(np.where(off, 2.0 * vals, vals), dtype)
-        self.spmm = EllSpMM(rows, cols, n) if self.nnz else None
+        self.spmm = (EllSpMM(rows, cols, n, vals=vals, cid=cid, dtype=dtype)
+                     if self.nnz else None)
 
     def contract(self, U, V):
         """Per-entry e = <sym(UV^T)>[row, col] * val * (2 if offdiag else 1).
@@ -77,20 +90,34 @@ class _SparseSym:
         e = 0.5 * (jnp.sum(ur * vc, axis=-1) + jnp.sum(uc * vr, axis=-1))
         return self.double_coef * e
 
-    def apply_weighted(self, w_entry, Y):
-        """S @ Y with S = sum of symmetric entries weighted by w_entry.
+    def apply_static(self, Y, scale=None):
+        """S @ Y with the static build-time values (e.g. the objective C)."""
+        return self.spmm.apply(Y, scale=scale)
 
-        w_entry is the (nnz,) per-entry weight val_i * w[cid_i] (already
-        including the matrix value).  Fully gather-based (bucketed ELL over
-        the symmetrized pattern) — no scatter on TPU.
-        """
-        return self.spmm(w_entry, Y)
+    def apply_constr(self, w, Y):
+        """(Sum_i w_i A_i) @ Y for per-constraint weights w."""
+        return self.spmm.apply_constr(w, Y)
+
+    def apply_weighted(self, w_entry, Y):
+        """S @ Y for per-entry weights (legacy path)."""
+        return self.spmm.apply_weighted(w_entry, Y)
 
 
 class ConeOps:
-    """Device-resident operator bundle for one SDP cone."""
+    """Device-resident operator bundle for one SDP cone.
 
-    def __init__(self, cone: ConeData, dtype=jnp.float64):
+    With ``relabel=True`` the vertex space is renumbered at build time so
+    the hot SpMM writes its output in natural order (no final permutation
+    gather); ``row_order[j]`` is the ORIGINAL row id at internal position
+    ``j``.  With ``constr_relabel=True`` (granted by
+    :func:`build_cone_ops_internal` for single-cone problems) a qualifying
+    diag cone additionally renumbers the constraint space to match —
+    ``constr_order[i]`` is the original constraint id at internal position
+    ``i`` — making both hot ops fully elementwise.
+    """
+
+    def __init__(self, cone: ConeData, dtype=jnp.float64,
+                 relabel: bool = False, constr_relabel: bool = False):
         self.n = cone.n
         self.m = cone.m
         self.dtype = dtype
@@ -100,33 +127,71 @@ class ConeOps:
         self.rank_max = cone.rank_max
         n = cone.n
 
+        # ---- vertex relabeling (internal row order) ----
+        self.row_order = None        # old row id per internal position
+        new_of_old = None
+        c_rows, c_cols, c_vals = cone.c_rows, cone.c_cols, cone.c_vals
+        if relabel and c_rows.size:
+            order = spmm_relabel_order(c_rows, c_cols, n)
+            new_of_old = np.empty(n, np.int64)
+            new_of_old[order] = np.arange(n)
+            self.row_order = order
+            r_new = new_of_old[c_rows]
+            c_new = new_of_old[c_cols]
+            # keep upper-triangle convention (row <= col) in the new ids
+            swap = r_new > c_new
+            c_rows = np.where(swap, c_new, r_new)
+            c_cols = np.where(swap, r_new, c_new)
+
         # ---- objective C ----
         self.c_sparse = _SparseSym(
-            cone.c_rows, cone.c_cols, cone.c_vals, None, n, n, dtype
+            c_rows, c_cols, c_vals, None, n, n, dtype
         )
         self.c_dense = None
         # materialize dense C whenever any dense compute path will need it
         if cone.kind_c == "dense" or cone.kind_a == "dense":
             C = np.zeros((n, n))
-            np.add.at(C, (cone.c_rows, cone.c_cols), cone.c_vals)
-            off = cone.c_rows != cone.c_cols
-            np.add.at(C, (cone.c_cols[off], cone.c_rows[off]), cone.c_vals[off])
+            np.add.at(C, (c_rows, c_cols), c_vals)
+            off = c_rows != c_cols
+            np.add.at(C, (c_cols[off], c_rows[off]), c_vals[off])
             self.c_dense = jnp.asarray(C, dtype)
 
         # ---- constraints ----
         self.a_sparse = None
         self.diag_idx = self.diag_val = self.diag_cid = None
+        self.diag_identity = False   # zero-gather MaxCut fast path
+        self.constr_order = None     # old constraint id per internal position
         if cone.kind_a == "diag":
-            self.diag_idx = jnp.asarray(cone.diag_idx, jnp.int32)
-            self.diag_val = jnp.asarray(cone.diag_val, dtype)
-            self.diag_cid = jnp.asarray(cone.diag_cid, jnp.int32)
-            self.diag_seg = EllSegSum(
-                cone.diag_cid, int(cone.diag_cid.size), cone.m)
-            self.diag_row_seg = EllSegSum(
-                cone.diag_idx, int(cone.diag_idx.size), n)
+            didx = (new_of_old[cone.diag_idx]
+                    if new_of_old is not None else
+                    np.asarray(cone.diag_idx, np.int64))
+            dval = np.asarray(cone.diag_val)
+            dcid = np.asarray(cone.diag_cid, np.int64)
+            if (constr_relabel and didx.size == n and cone.m == n
+                    and np.unique(didx).size == n
+                    and np.unique(dcid).size == n):
+                # every row carries exactly one constraint: renumber the
+                # constraint space so constraint i == internal row i
+                by_row = np.argsort(didx)
+                self.constr_order = dcid[by_row]
+                self.diag_identity = True
+                self.diag_val = jnp.asarray(dval[by_row], dtype)
+            else:
+                self.diag_idx = jnp.asarray(didx, jnp.int32)
+                self.diag_val = jnp.asarray(dval, dtype)
+                self.diag_cid = jnp.asarray(dcid, jnp.int32)
+                self.diag_seg = EllSegSum(dcid, int(dcid.size), cone.m)
+                self.diag_row_seg = EllSegSum(didx, int(didx.size), n)
         else:
+            a_rows, a_cols = cone.a_rows, cone.a_cols
+            if new_of_old is not None and a_rows.size:
+                r_new = new_of_old[a_rows]
+                c_new = new_of_old[a_cols]
+                swap = r_new > c_new
+                a_rows = np.where(swap, c_new, r_new)
+                a_cols = np.where(swap, r_new, c_new)
             self.a_sparse = _SparseSym(
-                cone.a_rows, cone.a_cols, cone.a_vals, cone.a_cid,
+                a_rows, a_cols, cone.a_vals, cone.a_cid,
                 n, cone.m, dtype,
             )
             self.a_cid = jnp.asarray(cone.a_cid, jnp.int32)
@@ -140,12 +205,16 @@ class ConeOps:
         if cone.kind_a == "dense" or (
             cone.kind_c == "dense" and cone.kind_a != "diag"
         ):
-            if cone.a_rows.size:
-                offa = cone.a_rows != cone.a_cols
+            a_rows_d = np.asarray(self.a_sparse.rows) \
+                if self.a_sparse is not None else cone.a_rows
+            a_cols_d = np.asarray(self.a_sparse.cols) \
+                if self.a_sparse is not None else cone.a_cols
+            if a_rows_d.size:
+                offa = a_rows_d != a_cols_d
                 slot_lin = np.concatenate([
-                    cone.a_rows.astype(np.int64) * n + cone.a_cols,
-                    (cone.a_cols[offa].astype(np.int64) * n
-                     + cone.a_rows[offa]),
+                    a_rows_d.astype(np.int64) * n + a_cols_d,
+                    (a_cols_d[offa].astype(np.int64) * n
+                     + a_rows_d[offa]),
                 ])
                 self.a_dense_seg = EllSegSum(slot_lin, slot_lin.size, n * n)
                 self.a_slot_vals = jnp.asarray(
@@ -154,9 +223,29 @@ class ConeOps:
                     np.concatenate([cone.a_cid, cone.a_cid[offa]]), jnp.int32)
 
     # ------------------------------------------------------------------ #
+    # boundary conversions (no-ops when relabel was off)
+    # ------------------------------------------------------------------ #
+
+    def permute_rows_in(self, X):
+        """Original row order -> internal row order (host or device array)."""
+        if self.row_order is None:
+            return X
+        return X[np.asarray(self.row_order)]
+
+    def permute_rows_out(self, X):
+        """Internal row order -> original row order."""
+        if self.row_order is None:
+            return X
+        out = np.empty_like(np.asarray(X))
+        out[np.asarray(self.row_order)] = np.asarray(X)
+        return out
+
+    # ------------------------------------------------------------------ #
 
     def constr_vals(self, U, V):
         """A(sym(UV^T)) as a global (m,) vector (zeros off-cone)."""
+        if self.diag_identity:
+            return self.diag_val * jnp.sum(U * V, axis=-1)
         if self.kind_a == "diag":
             e = jnp.sum(U[self.diag_idx] * V[self.diag_idx], axis=-1)
             return self.diag_seg(self.diag_val * e)
@@ -181,11 +270,34 @@ class ConeOps:
         coefficients (<C,sym(RDᵀ)> = <R, C·D>, <C,sym(DDᵀ)> = <D, C·D>) and
         the incremental gradient update C·(R+τD) = C·R + τ·C·D, removing
         the per-iteration objective gathers/SpMM entirely.
+
+        C's values are static across a solve, so the SpMM uses dense ELL
+        value tables — no weight gathers at all.
         """
         if self.c_dense is not None:
             return jnp.dot(self.c_dense, Y, preferred_element_type=self.dtype)
         if self.c_sparse.nnz:
-            return self.c_sparse.apply_weighted(self.c_sparse.vals, Y)
+            return self.c_sparse.apply_static(Y)
+        return jnp.zeros_like(Y)
+
+    def apply_a(self, w, Y):
+        """A*(w) @ Y — the adjoint-only half of ``apply_w``."""
+        if self.kind_a == "dense" or (
+            self.kind_c == "dense" and self.kind_a != "diag"
+        ):
+            n = self.n
+            if self.a_dense_seg is not None:
+                wv = self.a_slot_vals * w[self.a_slot_cid]
+                S = self.a_dense_seg(wv).reshape(n, n)
+                return jnp.dot(S, Y, preferred_element_type=self.dtype)
+            return jnp.zeros_like(Y)
+        if self.diag_identity:
+            return (self.diag_val * w)[:, None] * Y
+        if self.kind_a == "diag":
+            d = self.diag_row_seg(self.diag_val * w[self.diag_cid])
+            return d[:, None] * Y
+        if self.a_sparse is not None and self.a_sparse.nnz:
+            return self.a_sparse.apply_constr(w, Y)
         return jnp.zeros_like(Y)
 
     def apply_w(self, w, Y, obj_coef=1.0, include_obj=None):
@@ -199,7 +311,6 @@ class ConeOps:
         """
         if include_obj is None:
             include_obj = not (isinstance(obj_coef, float) and obj_coef == 0.0)
-        out = jnp.zeros_like(Y)
         if self.kind_a == "dense" or (
             self.kind_c == "dense" and self.kind_a != "diag"
         ):
@@ -214,21 +325,14 @@ class ConeOps:
                 S = S + obj_coef * self.c_dense
             return jnp.dot(S, Y, preferred_element_type=self.dtype)
 
-        # sparse / diag paths
-        if self.kind_a == "diag":
-            d = self.diag_row_seg(self.diag_val * w[self.diag_cid])
-            out = d[:, None] * Y
-        elif self.a_sparse is not None and self.a_sparse.nnz:
-            wv = self.a_sparse.vals * w[self.a_cid]
-            out = self.a_sparse.apply_weighted(wv, Y)
+        out = self.apply_a(w, Y)
         if include_obj:
             if self.c_dense is not None:
                 out = out + obj_coef * jnp.dot(
                     self.c_dense, Y, preferred_element_type=self.dtype
                 )
             elif self.c_sparse.nnz:
-                cw = obj_coef * self.c_sparse.vals
-                out = out + self.c_sparse.apply_weighted(cw, Y)
+                out = out + self.c_sparse.apply_static(Y, scale=obj_coef)
         return out
 
     def cid_for_entries(self):
@@ -277,9 +381,28 @@ class LPOps:
 
 
 def build_cone_ops(prob: SDPProblem, dtype=jnp.float64):
+    """Original-order operator bundles (no relabeling) — public helper."""
     cones = [ConeOps(c, dtype) for c in prob.cones]
     lp = LPOps(prob.lp, dtype) if prob.lp is not None else None
     return cones, lp
+
+
+def build_cone_ops_internal(prob: SDPProblem, dtype=jnp.float64):
+    """Relabel-optimized operator bundles for the solver's internal state.
+
+    Returns ``(cones, lp, constr_order)`` where ``constr_order`` is either
+    None (constraint space in original order) or the (m,) map internal->
+    original constraint id; the caller must then permute ``b`` by it and
+    un-permute duals at egress.  Constraint relabeling is only granted for
+    single-SDP-cone problems without an LP cone (the constraint space is
+    shared across cones).
+    """
+    allow_constr = len(prob.cones) == 1 and prob.lp is None
+    cones = [ConeOps(c, dtype, relabel=True, constr_relabel=allow_constr)
+             for c in prob.cones]
+    lp = LPOps(prob.lp, dtype) if prob.lp is not None else None
+    constr_order = cones[0].constr_order if allow_constr and cones else None
+    return cones, lp, constr_order
 
 
 # --------------------------------------------------------------------------- #

@@ -18,6 +18,20 @@ Pow2 bucketing bounds the padding blow-up at 2x per bucket while keeping the
 number of launched gathers at O(log(max_degree)); heavily skewed degree
 distributions (amazon0302-style power laws) stay nnz-proportional.
 
+Measured cost model (v5e, f32): an XLA gather costs ~7 ns per *index*,
+almost independent of the gathered row width up to 128 lanes.  Everything
+here is therefore organized to minimize the number of gather indices:
+
+* static matrix values (the objective C, whose values never change across a
+  solve) are baked into dense per-bucket ELL *value tables* at build time —
+  the weight gather disappears entirely (:meth:`EllSpMM.apply`);
+* dynamic constraint weights gather ``w[cid]`` through a precomputed
+  slot→constraint-id table (one gather), never via an nnz-sized
+  intermediate (two gathers) (:meth:`EllSpMM.apply_constr`);
+* the final output permutation is skipped when the caller has relabeled
+  the row space to bucket order (``identity_pos``; see
+  ``ops/coneops.py`` vertex relabeling).
+
 This is the TPU-native re-design of the reference's per-coefficient BLAS
 vtable dispatch (``lorads_sdp_data.c:750-1049``): instead of one small
 kernel per constraint matrix, the whole cone becomes a handful of large,
@@ -26,7 +40,7 @@ layout-aligned gathers the VPU streams at HBM bandwidth.
 
 from __future__ import annotations
 
-from typing import List, Tuple
+from typing import List, Optional, Tuple
 
 import jax.numpy as jnp
 import numpy as np
@@ -114,18 +128,30 @@ class EllSegSum:
 
 
 class EllSpMM:
-    """Y -> S @ Y for S = Sum_e w_e * sym_slot(e), fully gather-based.
+    """Y -> S @ Y for a symmetric sparse S, fully gather-based.
 
-    Built from symmetric COO triplets (upper triangle, row <= col); the
-    per-entry weights ``w_entry`` (length nnz) vary per call (they carry
-    both the matrix values and the constraint weights).  Per output row:
+    Built from symmetric COO triplets (upper triangle, row <= col).  Three
+    application modes, in decreasing specialization / increasing cost:
 
-        out[i] = Sum_slots(i)  w_ext[src] * Y[col]
+    * :meth:`apply` — S has the *static* values passed at build time
+      (optionally scaled by a traced scalar).  Per-bucket dense value
+      tables; the only gathers are the Y-row gathers.
+    * :meth:`apply_constr` — S = Sum_i w_i A_i with per-constraint weights
+      ``w`` (num_seg,); slot weight = val_tab * w[cid_tab].  One scalar
+      gather per slot on top of the Y-row gathers.
+    * :meth:`apply_weighted` — legacy per-entry weights (nnz,), two
+      gathers per slot.  Kept for callers that precombine weights.
 
-    where the slot tables enumerate the *symmetrized* pattern.
+    ``order`` is the original row id at each output position of the
+    concatenated buckets; when the caller relabels its row space to this
+    order the output permutation becomes the identity and is skipped
+    (``identity_pos``).
     """
 
-    def __init__(self, rows: np.ndarray, cols: np.ndarray, n: int):
+    def __init__(self, rows: np.ndarray, cols: np.ndarray, n: int,
+                 vals: Optional[np.ndarray] = None,
+                 cid: Optional[np.ndarray] = None,
+                 dtype=jnp.float64):
         rows = np.asarray(rows, np.int64)
         cols = np.asarray(cols, np.int64)
         nnz = rows.size
@@ -135,7 +161,11 @@ class EllSpMM:
         slot_row = np.concatenate([rows, cols[off]])
         slot_col = np.concatenate([cols, rows[off]])
         slot_src = np.concatenate([np.arange(nnz), np.arange(nnz)[off]])
-        tables, _, pos = _bucket_layout(slot_row, slot_row.size, n)
+        tables, seg_lists, pos = _bucket_layout(slot_row, slot_row.size, n)
+        # original row id at each output position (for vertex relabeling)
+        self.order = np.concatenate(seg_lists) if seg_lists else \
+            np.zeros(0, np.int64)
+        self.identity_pos = bool(np.array_equal(pos, np.arange(n)))
         # resolve slot-index tables into (src, col) tables; padding slot
         # maps to src=nnz (zero-extended weight) and col=0 (weight 0 kills it)
         slot_src_ext = np.concatenate([slot_src, [nnz]])
@@ -148,19 +178,81 @@ class EllSpMM:
         # total padded slots (for flop/bandwidth accounting)
         self.padded_slots = int(sum(t.size for t in tables))
 
-    def __call__(self, w_entry, Y):
-        w_ext = jnp.concatenate(
-            [w_entry, jnp.zeros((1,), w_entry.dtype)], axis=0)
+        # static per-bucket value tables (padding -> 0)
+        self.val_tabs = None
+        if vals is not None:
+            vals_ext = np.concatenate([np.asarray(vals, np.float64), [0.0]])
+            self.val_tabs = [jnp.asarray(vals_ext[np.asarray(slot_src_ext)[t]],
+                                         dtype)
+                             for t in tables]
+        # slot -> constraint-id tables (padding -> num_seg zero weight slot)
+        self.cid_tabs = None
+        if cid is not None:
+            cid = np.asarray(cid, np.int64)
+            self.num_seg = int(cid.max()) + 1 if cid.size else 0
+            cid_ext = np.concatenate([cid, [self.num_seg]])
+            self.cid_tabs = [
+                jnp.asarray(cid_ext[np.asarray(slot_src_ext)[t]], jnp.int32)
+                for t in tables]
+
+    # ------------------------------------------------------------------ #
+
+    def _reduce(self, weight_tabs, Y):
         r = Y.shape[1]
         parts = []
-        for src_tab, col_tab in zip(self.src_tabs, self.col_tabs):
-            if src_tab.shape[1] == 0:
-                parts.append(jnp.zeros((src_tab.shape[0], r), Y.dtype))
+        for w_tab, col_tab in zip(weight_tabs, self.col_tabs):
+            if col_tab.shape[1] == 0:
+                parts.append(jnp.zeros((col_tab.shape[0], r), Y.dtype))
             else:
-                w_slot = w_ext[src_tab]                     # (n_b, K)
                 yg = Y[col_tab]                              # (n_b, K, r)
                 parts.append(jnp.einsum(
-                    "bk,bkr->br", w_slot, yg,
+                    "bk,bkr->br", w_tab, yg,
                     preferred_element_type=Y.dtype))
         cat = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
+        if self.identity_pos:
+            return cat
         return cat[self.pos]
+
+    def apply(self, Y, scale=None):
+        """S @ Y with the static build-time values (optionally scaled)."""
+        assert self.val_tabs is not None
+        out = self._reduce(self.val_tabs, Y)
+        if scale is not None:
+            out = scale * out
+        return out
+
+    def apply_constr(self, w, Y):
+        """(Sum_i w_i A_i) @ Y for per-constraint weights w (num_seg,)."""
+        assert self.val_tabs is not None and self.cid_tabs is not None
+        w_ext = jnp.concatenate([w, jnp.zeros((1,), w.dtype)], axis=0)
+        weight_tabs = [w_ext[ct] * vt
+                       for ct, vt in zip(self.cid_tabs, self.val_tabs)]
+        return self._reduce(weight_tabs, Y)
+
+    def apply_weighted(self, w_entry, Y):
+        """S @ Y for per-entry weights w_entry (nnz,) — legacy path."""
+        w_ext = jnp.concatenate(
+            [w_entry, jnp.zeros((1,), w_entry.dtype)], axis=0)
+        weight_tabs = [w_ext[st] for st in self.src_tabs]
+        return self._reduce(weight_tabs, Y)
+
+    def __call__(self, w_entry, Y):
+        return self.apply_weighted(w_entry, Y)
+
+
+def spmm_relabel_order(rows: np.ndarray, cols: np.ndarray,
+                       n: int) -> np.ndarray:
+    """The vertex order (old id per new position) that makes
+    :class:`EllSpMM`'s output permutation the identity for this pattern.
+
+    Relabeling rows AND cols of the same symmetric pattern by
+    ``new_of_old = argsort-inverse(order)`` and rebuilding the EllSpMM
+    yields ``identity_pos == True``: bucket keys become nondecreasing in
+    the new row id, so the stable key sort is the identity.
+    """
+    rows = np.asarray(rows, np.int64)
+    cols = np.asarray(cols, np.int64)
+    off = rows != cols
+    slot_row = np.concatenate([rows, cols[off]])
+    _, seg_lists, _ = _bucket_layout(slot_row, slot_row.size, n)
+    return np.concatenate(seg_lists) if seg_lists else np.arange(n)

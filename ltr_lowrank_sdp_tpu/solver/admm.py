@@ -60,6 +60,7 @@ class ADMMCarry(NamedTuple):
     constr_val: Tuple[jnp.ndarray, ...]   # per-cone (m,) bookkeeping
     constr_lp: Optional[jnp.ndarray]      # LP cone contribution (m,)
     constr_sum: jnp.ndarray
+    CV: Tuple[jnp.ndarray, ...]           # C @ V_k per cone (current V)
     obj_scale: jnp.ndarray
     pobj: jnp.ndarray
     dobj: jnp.ndarray
@@ -133,18 +134,25 @@ class ADMMPhase:
 
     # ------------------------------------------------------------------ #
 
-    def _cone_update(self, i, update_var, fixed_var, carry, rho, cg_tol):
-        """CG solve for one factor of one cone; returns (factor, iters)."""
+    def _cone_update(self, i, update_var, fixed_var, C_fixed, carry, rho,
+                     cg_tol):
+        """CG solve for one factor of one cone; returns (factor, iters).
+
+        ``C_fixed`` is C @ fixed_var, supplied by the caller: the U update
+        reuses the carried C·V from the previous metrics pass, the V update
+        computes C·U_new once and hands it onward — each ADMM iteration
+        performs exactly two objective SpMMs and the adjoint work is pure
+        elementwise for diag (MaxCut) cones.
+        """
         ops = self.cones[i]
         M1 = rho * (carry.constr_sum - carry.constr_val[i] - self.b) - carry.dual
-        M2 = ops.apply_w(M1, fixed_var, obj_coef=carry.obj_scale,
-                         include_obj=True) - rho * fixed_var
+        M2 = (ops.apply_a(M1, fixed_var) + carry.obj_scale * C_fixed
+              - rho * fixed_var)
         b_lin = -M2 / rho
 
         def matvec(x):
             w = ops.constr_vals(x, fixed_var)
-            return x + ops.apply_w(w, fixed_var, obj_coef=0.0,
-                                   include_obj=False)
+            return x + ops.apply_a(w, fixed_var)
 
         res = cg_solve(matvec, b_lin, update_var, cg_tol,
                        self.params.cg_max_iter, self.params.cg_restart_freq)
@@ -156,8 +164,10 @@ class ADMMPhase:
         U = list(carry.U)
         V = list(carry.V)
         constr_val = list(carry.constr_val)
+        CU = []
         for i, ops in enumerate(self.cones):
-            u_new, it1 = self._cone_update(i, U[i], V[i], carry, rho, cg_tol)
+            u_new, it1 = self._cone_update(i, U[i], V[i], carry.CV[i],
+                                           carry, rho, cg_tol)
             U[i] = u_new
             new_cv = ops.constr_vals(U[i], V[i])
             carry = carry._replace(
@@ -167,7 +177,9 @@ class ADMMPhase:
             constr_val[i] = new_cv
             carry = carry._replace(constr_val=tuple(constr_val))
 
-            v_new, it2 = self._cone_update(i, V[i], U[i], carry, rho, cg_tol)
+            C_u = ops.apply_c(U[i])
+            v_new, it2 = self._cone_update(i, V[i], U[i], C_u,
+                                           carry, rho, cg_tol)
             V[i] = v_new
             new_cv = ops.constr_vals(U[i], V[i])
             carry = carry._replace(
@@ -177,10 +189,11 @@ class ADMMPhase:
             constr_val[i] = new_cv
             carry = carry._replace(constr_val=tuple(constr_val))
             cg_total = cg_total + it1 + it2
+            CU.append(C_u)
 
         if self.has_lp:
             carry = self._lp_sweep(carry, rho)
-        carry = self._metrics(carry)
+        carry = self._metrics(carry, CU=tuple(CU))
         return carry, cg_total
 
     def _lp_sweep(self, carry: ADMMCarry, rho):
@@ -210,22 +223,32 @@ class ADMMPhase:
         )
         return carry
 
-    def _metrics(self, carry: ADMMCarry) -> ADMMCarry:
+    def _metrics(self, carry: ADMMCarry, CU=None) -> ADMMCarry:
         """Objective + DIMACS from averaged factors; overwrite bookkeeping
-        with the averaged constraint values (reference semantics)."""
+        with the averaged constraint values (reference semantics).
+
+        The averaged objective <C, Ravg Ravg^T> = 0.25 <U+V, CU + CV> needs
+        C·U and C·V: ``CU`` rides in from the V update when called from the
+        iteration; C·V is computed fresh here (it is carried to the next
+        iteration's U update, so it is never an *extra* SpMM)."""
         Ravg = tuple(0.5 * (u + v) for u, v in zip(carry.U, carry.V))
         rlp_avg = 0.5 * (carry.ulp + carry.vlp) if self.has_lp else None
 
+        CV = tuple(ops.apply_c(v) for ops, v in zip(self.cones, carry.V))
+        if CU is None:
+            CU = tuple(ops.apply_c(u) for ops, u in zip(self.cones, carry.U))
         obj = jnp.asarray(0.0, self.b.dtype)
         cvals = []
-        for ops, r in zip(self.cones, Ravg):
-            obj = obj + ops.obj_value(r, r)
+        for ops, u, v, cu, cv, r in zip(self.cones, carry.U, carry.V, CU,
+                                        CV, Ravg):
+            obj = obj + 0.25 * jnp.vdot(u + v, cu + cv)
             cvals.append(ops.constr_vals(r, r))
         constr_lp = carry.constr_lp
         if self.has_lp:
             obj = obj + self.lp.obj_value(rlp_avg, rlp_avg)
             constr_lp = self.lp.constr_vals(rlp_avg, rlp_avg)
         csum = sum(cvals) + (constr_lp if self.has_lp else 0.0)
+        carry = carry._replace(CV=CV)
 
         pobj = obj
         dobj = jnp.vdot(self.b, carry.dual) / carry.obj_scale
@@ -381,6 +404,7 @@ class ADMMPhase:
             constr_val=tuple(jnp.zeros_like(self.b) for _ in self.cones),
             constr_lp=jnp.zeros_like(self.b) if self.has_lp else None,
             constr_sum=jnp.zeros_like(self.b),
+            CV=tuple(jnp.zeros_like(v) for v in V),  # _metrics fills this
             obj_scale=jnp.asarray(obj_scale, dtype),
             pobj=big, dobj=big, pinf_l1=big, pinf_inf=big, gap=big,
         )

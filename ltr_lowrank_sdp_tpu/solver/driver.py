@@ -32,7 +32,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import OracleRankMethod, SolverParams, SolverStatus
-from ..ops.coneops import build_cone_ops
+from ..ops.coneops import build_cone_ops_internal
 from ..ops.lanczos import lanczos_tridiag, tridiag_min_eig
 from ..problem import SDPProblem
 from .alm import ALMPhase, make_alm_carry
@@ -96,10 +96,33 @@ class Solver:
             dt = "float64" if jax.default_backend() == "cpu" else "float32"
         dtype = jnp.dtype(dt)
         self.dtype = dtype
-        self.cones, self.lp = build_cone_ops(prob, dtype)
+        # internal (relabel-optimized) operators: factor rows and possibly
+        # the constraint axis live in a solver-chosen order that makes the
+        # hot-path gathers identity maps; conversions happen only at the
+        # problem boundary (_factors_out / _dual_out)
+        self.cones, self.lp, self.constr_order = build_cone_ops_internal(
+            prob, dtype)
         self.consts = ProblemConsts.from_problem(prob)
-        self.b = jnp.asarray(prob.b, dtype)
+        b_np = np.asarray(prob.b)
+        if self.constr_order is not None:
+            b_np = b_np[self.constr_order]
+        self.b = jnp.asarray(b_np, dtype)
         self._phase_cache: Dict[Tuple[int, ...], Tuple[ALMPhase, ADMMPhase]] = {}
+
+    # ---- boundary conversions (internal order <-> original order) ------ #
+
+    def _factors_out(self, F) -> Tuple[np.ndarray, ...]:
+        """Per-cone factor tuple: internal row order -> original order."""
+        return tuple(ops.permute_rows_out(np.asarray(f))
+                     for ops, f in zip(self.cones, F))
+
+    def _dual_out(self, dual) -> np.ndarray:
+        dual = np.asarray(dual)
+        if self.constr_order is None:
+            return dual
+        out = np.empty_like(dual)
+        out[self.constr_order] = dual
+        return out
 
     def phases(self, ranks) -> Tuple[ALMPhase, ADMMPhase]:
         key = tuple(ranks)
@@ -239,6 +262,8 @@ class Solver:
             floor that can exceed phase2Tol on large instances)."""
             U_h, V_h, ulp_h, vlp_h, dual_h = jax.device_get(
                 (admm_c.U, admm_c.V, admm_c.ulp, admm_c.vlp, admm_c.dual))
+            U_h, V_h = self._factors_out(U_h), self._factors_out(V_h)
+            dual_h = self._dual_out(dual_h)
             Ravg = tuple(0.5 * (np.asarray(u, np.float64)
                                 + np.asarray(v, np.float64))
                          for u, v in zip(U_h, V_h))
@@ -496,6 +521,9 @@ class Solver:
              admm_carry.ulp, admm_carry.vlp, admm_carry.dual))
         gap, pinf_l1, pinf_inf = float(gap), float(pinf_l1), float(pinf_inf)
         pobj, dobj = float(pobj), float(dobj)
+        # convert to the problem's original row / constraint order
+        U_h, V_h = self._factors_out(U_h), self._factors_out(V_h)
+        dual_h = self._dual_out(dual_h)
         if dtype != jnp.float64:
             # re-verify the final iterate in f64 on the host: f32 device
             # metrics sit at the f32 noise floor (the reference reports
@@ -542,8 +570,7 @@ class Solver:
             alm_inner_iters=alm_inner_total, admm_iters=admm_it,
             cg_iters=cg_total, final_ranks=list(rank_state.ranks),
             oracle_rank=oracle, logger=logger, stage_times=stages,
-            U=admm_carry.U, V=admm_carry.V, ulp=admm_carry.ulp,
-            vlp=admm_carry.vlp, dual=admm_carry.dual)
+            U=U_h, V=V_h, ulp=ulp_h, vlp=vlp_h, dual=dual_h)
 
 
 def solve(

@@ -137,3 +137,74 @@ def test_gradient_matches_autodiff():
     g_manual = 2.0 * ops.apply_w(w, R, obj_coef=1.0)
     np.testing.assert_allclose(np.asarray(g_auto), np.asarray(g_manual),
                                rtol=1e-10, atol=1e-10)
+
+
+def test_relabeled_ops_match_original_order():
+    """relabel=True ConeOps must agree with original-order ops after the
+    boundary permutations (driver hot path runs entirely in internal
+    order)."""
+    rng = np.random.default_rng(3)
+    n, m = 40, 25
+    cone = random_cone(rng, n, m, nnz_per=4)
+    ops0 = ConeOps(cone, jnp.float64)
+    ops1 = ConeOps(cone, jnp.float64, relabel=True)
+    U = rng.normal(size=(n, 5))
+    V = rng.normal(size=(n, 5))
+    w = rng.normal(size=m)
+    Ui, Vi = ops1.permute_rows_in(U), ops1.permute_rows_in(V)
+    np.testing.assert_allclose(
+        np.asarray(ops1.constr_vals(jnp.array(Ui), jnp.array(Vi))),
+        np.asarray(ops0.constr_vals(jnp.array(U), jnp.array(V))), atol=1e-10)
+    np.testing.assert_allclose(
+        float(ops1.obj_value(jnp.array(Ui), jnp.array(Vi))),
+        float(ops0.obj_value(jnp.array(U), jnp.array(V))), atol=1e-10)
+    out1 = ops1.permute_rows_out(
+        np.asarray(ops1.apply_w(jnp.array(w), jnp.array(Ui), obj_coef=2.0)))
+    out0 = np.asarray(ops0.apply_w(jnp.array(w), jnp.array(U), obj_coef=2.0))
+    np.testing.assert_allclose(out1, out0, atol=1e-10)
+    # split halves agree with the fused kernel
+    np.testing.assert_allclose(
+        np.asarray(ops1.apply_a(jnp.array(w), jnp.array(Ui)))
+        + 2.0 * np.asarray(ops1.apply_c(jnp.array(Ui))),
+        out1[np.asarray(ops1.row_order)] if ops1.row_order is not None
+        else out1, atol=1e-10)
+
+
+def test_maxcut_diag_identity_relabel():
+    """Single-cone diag (MaxCut) problems get the zero-gather fast path:
+    constraint relabel active, both hot ops elementwise, results matching
+    the original-order operators after the boundary permutations."""
+    from ltr_lowrank_sdp_tpu.ops.coneops import (
+        build_cone_ops, build_cone_ops_internal)
+    from ltr_lowrank_sdp_tpu.io.sdpa import SDPAData, SDPABlock
+    from ltr_lowrank_sdp_tpu.problem import canonicalize
+
+    rng = np.random.default_rng(7)
+    n = 30
+    # MaxCut-shaped instance: diag constraints + sparse symmetric C
+    c_rows = rng.integers(0, n, size=3 * n).astype(np.int32)
+    c_cols = np.maximum(c_rows, rng.integers(0, n, size=3 * n)).astype(np.int32)
+    blk = SDPABlock(
+        dim=n, c_rows=c_rows, c_cols=c_cols, c_vals=rng.normal(size=3 * n),
+        a_rows=np.arange(n, dtype=np.int32),
+        a_cols=np.arange(n, dtype=np.int32),
+        a_vals=np.ones(n), a_cid=np.arange(n, dtype=np.int32),
+    )
+    prob = canonicalize(SDPAData(n_constrs=n, blocks=[blk], b=np.ones(n)))
+    assert prob.cones[0].kind_a == "diag"
+    cones0, _ = build_cone_ops(prob, jnp.float64)
+    cones1, _, constr_order = build_cone_ops_internal(prob, jnp.float64)
+    ops0, ops1 = cones0[0], cones1[0]
+    assert ops1.diag_identity and constr_order is not None
+    U = rng.normal(size=(n, 4))
+    V = rng.normal(size=(n, 4))
+    w = rng.normal(size=n)
+    Ui, Vi = ops1.permute_rows_in(U), ops1.permute_rows_in(V)
+    cv_int = np.asarray(ops1.constr_vals(jnp.array(Ui), jnp.array(Vi)))
+    cv0 = np.asarray(ops0.constr_vals(jnp.array(U), jnp.array(V)))
+    np.testing.assert_allclose(cv_int, cv0[constr_order], atol=1e-12)
+    w_int = w[constr_order]
+    out1 = ops1.permute_rows_out(np.asarray(
+        ops1.apply_w(jnp.array(w_int), jnp.array(Ui), obj_coef=1.0)))
+    out0 = np.asarray(ops0.apply_w(jnp.array(w), jnp.array(U), obj_coef=1.0))
+    np.testing.assert_allclose(out1, out0, atol=1e-12)
