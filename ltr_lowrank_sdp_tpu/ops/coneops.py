@@ -75,7 +75,8 @@ class _SparseSym:
         off = rows != cols
         # off-diagonal entries count twice in <A, X> for symmetric X
         self.double_coef = jnp.asarray(np.where(off, 2.0 * vals, vals), dtype)
-        self.spmm = (EllSpMM(rows, cols, n, vals=vals, cid=cid, dtype=dtype)
+        self.spmm = (EllSpMM(rows, cols, n, vals=vals, cid=cid,
+                             num_seg=num_seg, dtype=dtype)
                      if self.nnz else None)
 
     def contract(self, U, V):
@@ -243,7 +244,11 @@ class ConeOps:
     # ------------------------------------------------------------------ #
 
     def constr_vals(self, U, V):
-        """A(sym(UV^T)) as a global (m,) vector (zeros off-cone)."""
+        """A(sym(UV^T)) over this cone's constraints -> (m,) vector (zeros
+        off-cone).  Under ``diag_identity`` the result is in the INTERNAL
+        (relabeled) constraint order — valid because constraint relabeling
+        is only granted single-cone, where the caller permutes ``b`` and
+        duals at the problem boundary (see ``build_cone_ops_internal``)."""
         if self.diag_identity:
             return self.diag_val * jnp.sum(U * V, axis=-1)
         if self.kind_a == "diag":

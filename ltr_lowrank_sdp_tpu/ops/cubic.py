@@ -100,11 +100,16 @@ def cubic_roots(a, b, c, d):
     return jnp.stack([root0, root1, root2]), root_num
 
 
-def quartic_linesearch(rho, lam, p1, p2, q0, q1, q2):
-    """Exact minimizer of the ALM quartic on [0, 1].
+def quartic_linesearch(rho, lam, p1, p2, q0, q1, q2, tau_max=1.0):
+    """Exact minimizer of the ALM quartic on [0, tau_max].
 
     Args mirror ``ALMLineSearch`` (``lorads_alm.c:266-333``):
     q0 = b - A(RR^T) (WITHOUT the lambda/rho shift; applied here).
+
+    ``tau_max`` generalizes the reference's fixed [0, 1] interval: callers
+    that pre-normalize the direction D to unit Frobenius norm (so the
+    quartic coefficients stay inside float32 range) pass tau_max = ||D||,
+    which is exactly equivalent to the reference's unnormalized search.
 
     Returns (tau, root_num); root_num == 0 signals the Cardano degenerate
     case -> numerical-error exit in the driver.
@@ -120,13 +125,14 @@ def quartic_linesearch(rho, lam, p1, p2, q0, q1, q2):
     def phi(x):
         return ((a * x + b) * x + c) * x * x + d * x
 
+    tau_max = jnp.asarray(tau_max, a.dtype)
     f0 = jnp.zeros_like(a)
-    f1 = phi(jnp.ones_like(a))
-    valid = (roots > 1e-20) & (roots <= 1.0)
+    f1 = phi(tau_max)
+    valid = (roots > 1e-20) & (roots <= tau_max)
     valid = valid & (jnp.arange(3) < root_num)
     froots = jnp.where(valid, phi(roots), 1e30)
 
     cand_f = jnp.concatenate([jnp.stack([f0, f1]), froots])
-    cand_tau = jnp.concatenate([jnp.stack([f0, jnp.ones_like(a)]), roots])
+    cand_tau = jnp.concatenate([jnp.stack([f0, tau_max]), roots])
     idx = jnp.argmin(cand_f)
     return cand_tau[idx], root_num

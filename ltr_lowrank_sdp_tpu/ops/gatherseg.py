@@ -151,6 +151,7 @@ class EllSpMM:
     def __init__(self, rows: np.ndarray, cols: np.ndarray, n: int,
                  vals: Optional[np.ndarray] = None,
                  cid: Optional[np.ndarray] = None,
+                 num_seg: Optional[int] = None,
                  dtype=jnp.float64):
         rows = np.asarray(rows, np.int64)
         cols = np.asarray(cols, np.int64)
@@ -185,11 +186,14 @@ class EllSpMM:
             self.val_tabs = [jnp.asarray(vals_ext[np.asarray(slot_src_ext)[t]],
                                          dtype)
                              for t in tables]
-        # slot -> constraint-id tables (padding -> num_seg zero weight slot)
+        # slot -> constraint-id tables (padding -> num_seg zero weight slot;
+        # num_seg must be the TRUE segment count so the pad index always
+        # lands on the appended zero of w_ext, never a live constraint)
         self.cid_tabs = None
         if cid is not None:
             cid = np.asarray(cid, np.int64)
-            self.num_seg = int(cid.max()) + 1 if cid.size else 0
+            self.num_seg = (int(num_seg) if num_seg is not None
+                            else (int(cid.max()) + 1 if cid.size else 0))
             cid_ext = np.concatenate([cid, [self.num_seg]])
             self.cid_tabs = [
                 jnp.asarray(cid_ext[np.asarray(slot_src_ext)[t]], jnp.int32)

@@ -46,8 +46,18 @@ def reset_history(hist: LBFGSHistory) -> LBFGSHistory:
 
 
 def push_pair(hist: LBFGSHistory, s, y) -> LBFGSHistory:
-    """Insert a new (s, y) pair at the ring head."""
-    beta = 1.0 / jnp.vdot(y, s)
+    """Insert a new (s, y) pair at the ring head.
+
+    Cautious update: a pair with vanishing curvature <y,s> ~ 0 (stalled
+    step, or the zero step pushed after a rejected line search) would give
+    beta = 1/<y,s> ~ 1e15 and blow up the two-loop direction by 1e8x —
+    harmless in the reference's doubles but fatal in float32, where the
+    line-search coefficient rho*||A(DD^T)||^2 then overflows to inf and
+    surfaces as a spurious Cardano num_err.  Such pairs get beta = 0,
+    which makes them exact no-ops in both recursion loops."""
+    ys = jnp.vdot(y, s)
+    curv_ok = ys > 1e-8 * jnp.linalg.norm(y) * jnp.linalg.norm(s)
+    beta = jnp.where(curv_ok, 1.0 / jnp.where(curv_ok, ys, 1.0), 0.0)
     L = hist.s.shape[0]
     return LBFGSHistory(
         s=hist.s.at[hist.head].set(s),

@@ -283,6 +283,13 @@ class ALMPhase:
             clear = jnp.where(local_iter % 300 == 0, 0, clear)
             grad_flat = flatten_factors(c.grad, c.grad_lp)
             D_flat = lbfgs_mod.direction(c.hist, grad_flat, n_valid=clear)
+            # normalize the direction so the quartic coefficients (which
+            # scale as ||D||^4) stay inside float32 range; the search
+            # interval [0, ||D||] keeps the math identical to the
+            # reference's unnormalized [0, 1] search
+            d_nrm = jnp.linalg.norm(D_flat)
+            d_safe = jnp.where(d_nrm > 0.0, d_nrm, 1.0)
+            D_flat = D_flat / d_safe
             D, dlp = unflatten_factors(D_flat, self.shapes, self.has_lp)
 
             q0 = self.b - c.constr_sum
@@ -312,9 +319,12 @@ class ALMPhase:
             q2 = cDD
 
             tau, root_num = quartic_linesearch(
-                c.rho, c.dual, p1, p2, q0, q1, q2)
+                c.rho, c.dual, p1, p2, q0, q1, q2, tau_max=d_nrm)
             num_err = root_num == 0
-            tau_small = (~num_err) & (jnp.abs(tau) < p.end_tau_tol)
+            # tau is in normalized-direction units; the reference's
+            # step-too-small test is on the unnormalized step tau/||D||
+            tau_small = (~num_err) & (
+                jnp.abs(tau) < p.end_tau_tol * d_safe)
             do_update = ~(num_err | tau_small)
             tau_eff = jnp.where(do_update, tau, 0.0)
 

@@ -4,7 +4,10 @@ import jax, jax.numpy as jnp, numpy as np
 from ltr_lowrank_sdp_tpu.problem import load_problem
 from ltr_lowrank_sdp_tpu.ops.coneops import build_cone_ops
 
-path = "/root/reference/lorads/data/Max_cut_matrix_files/amazon0302.mat"
+if len(sys.argv) < 2:
+    sys.exit("usage: microbench.py <instance.(dat-s|mat)> "
+             "(or set SDP_INSTANCE)")
+path = sys.argv[1] if len(sys.argv) > 1 else os.environ["SDP_INSTANCE"]
 prob = load_problem(path)
 dt = jnp.float32
 cones, _ = build_cone_ops(prob, dt)

@@ -4,7 +4,9 @@ from ltr_lowrank_sdp_tpu.config import SolverParams
 from ltr_lowrank_sdp_tpu.problem import load_problem
 from ltr_lowrank_sdp_tpu.solver.driver import Solver
 
-path = sys.argv[1] if len(sys.argv) > 1 else "/root/reference/lorads/data/Max_cut_matrix_files/amazon0302.mat"
+if len(sys.argv) < 2:
+    sys.exit("usage: profile_amz.py <instance.(dat-s|mat)>")
+path = sys.argv[1]
 prob = load_problem(path)
 params = SolverParams(disable_oracle=True, dtype="auto", phase1_tol=1e+1, heuristic_factor=100.0)
 sv = Solver(prob, params)

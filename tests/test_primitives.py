@@ -135,3 +135,59 @@ def test_oracle_rank():
     F = np.hstack([F0, np.zeros((n, r - r_true))]) @ Q
     assert int(oracle_rank_gram(jnp.array(F))) == r_true
     assert int(oracle_rank_naive(jnp.array(F))) == r_true
+
+
+def test_quartic_linesearch_tau_max_equivalence():
+    """Searching [0, s] with D/s must equal searching [0, 1] with D.
+
+    This is the float32 overflow guard: the ALM normalizes the L-BFGS
+    direction and passes tau_max = ||D||; the minimizer must transform
+    exactly (tau_hat = s * tau)."""
+    rng = np.random.default_rng(3)
+    m = 7
+    rho = 2.0
+    lam = jnp.array(rng.normal(size=m))
+    q0 = jnp.array(rng.normal(size=m))
+    q1 = jnp.array(rng.normal(size=m))
+    q2 = jnp.array(rng.normal(size=m))
+    p1, p2 = 0.3, -0.7
+    tau1, n1 = quartic_linesearch(rho, lam, p1, p2, q0, q1, q2)
+    s = 5.0  # pretend ||D|| = 5: q1/p1 scale by s, q2/p2 by s^2
+    tau2, n2 = quartic_linesearch(
+        rho, lam, p1 / s, p2 / s**2, q0, q1 / s, q2 / s**2, tau_max=s)
+    assert int(n1) > 0 and int(n2) > 0
+    np.testing.assert_allclose(float(tau2), s * float(tau1), rtol=1e-8)
+
+
+def test_lbfgs_cautious_update_zero_curvature():
+    """A zero / negative-curvature pair must be a no-op, not an inf beta."""
+    hist = init_history(4, 2)
+    g = jnp.asarray([1.0, -2.0, 0.5, 3.0])
+    # zero step (rejected line search): s = 0, y = 0
+    hist = push_pair(hist, jnp.zeros(4), jnp.zeros(4))
+    assert np.isfinite(float(hist.beta[0]))
+    d = direction(hist, g)
+    np.testing.assert_allclose(np.asarray(d), -np.asarray(g))
+    # negative curvature pair also skipped
+    hist = push_pair(hist, jnp.ones(4), -jnp.ones(4))
+    d = direction(hist, g)
+    assert np.all(np.isfinite(np.asarray(d)))
+    np.testing.assert_allclose(np.asarray(d), -np.asarray(g))
+
+
+def test_quartic_linesearch_f32_huge_direction_no_overflow():
+    """float32 coefficients of a unit direction stay finite where the
+    unnormalized direction (||D|| ~ 1e8) would overflow rho*||q2||^2."""
+    rng = np.random.default_rng(5)
+    m = 16
+    scale = 1e8  # ||D||
+    q0 = jnp.asarray(rng.normal(size=m), jnp.float32)
+    lam = jnp.asarray(rng.normal(size=m), jnp.float32)
+    # normalized-direction contractions are O(1)
+    q1 = jnp.asarray(rng.normal(size=m), jnp.float32)
+    q2 = jnp.asarray(rng.normal(size=m), jnp.float32)
+    tau, num = quartic_linesearch(
+        jnp.float32(1e3), lam, jnp.float32(0.1), jnp.float32(0.2),
+        q0, q1, q2, tau_max=jnp.float32(scale))
+    assert int(num) > 0
+    assert np.isfinite(float(tau))
