@@ -69,7 +69,8 @@ def run_one(name: str, probe: bool) -> dict:
     dtype = os.environ.get("BENCH_DTYPE", "auto")
 
     prob = load_problem(path)
-    params = SolverParams(disable_oracle=True, dtype=dtype, **overrides)
+    params = SolverParams(disable_oracle=True, dtype=dtype,
+                          return_factors=False, **overrides)
     sv = Solver(prob, params)
     res = sv.solve()               # cold: compiles (persistently cached)
     t0 = time.time()

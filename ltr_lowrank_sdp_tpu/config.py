@@ -94,7 +94,17 @@ class SolverParams:
     dtype: str = "auto"              # factor/compute dtype; "auto" resolves
                                      # to float64 on CPU (reference parity)
                                      # and float32 on TPU (f64 is emulated;
-                                     # final DIMACS re-verified in f64)
+                                     # objective/gap reductions are computed
+                                     # with compensated double-single
+                                     # arithmetic, see ops/compsum.py)
+    host_f64_verify: bool = False    # pull factors and recompute final DIMACS
+                                     # in f64 numpy (device metrics are already
+                                     # compensated; this is a debugging aid —
+                                     # it costs a full factor transfer)
+    return_factors: bool = True      # include U/V/dual in SolveResult (a
+                                     # device->host transfer of the full
+                                     # factors; benchmarks that only need
+                                     # metrics turn this off)
     cg_restart_freq: int = 20
     cg_max_iter: int = 800
     constr_refresh_every: int = 25   # recompute A(RR^T) fresh every k inner its

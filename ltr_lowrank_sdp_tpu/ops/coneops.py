@@ -53,6 +53,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..problem import ConeData, LPConeData, SDPProblem
+from .compsum import csum, cvdot
 from .gatherseg import EllSegSum, EllSpMM, spmm_relabel_order
 
 
@@ -258,14 +259,16 @@ class ConeOps:
         return self.a_seg(contrib)
 
     def obj_value(self, U, V):
-        """<C, sym(UV^T)>."""
+        """<C, sym(UV^T)> with a compensated final reduction (the duality
+        gap must resolve 1e-5 relative on million-term f32 sums; see
+        ``ops/compsum.py``)."""
         if self.kind_c == "dense" and self.c_dense is not None:
             # C symmetric => tr(C sym(UV^T)) = vdot(U, C @ V) averaged with
             # its transpose-pair; both are equal for symmetric C.
             CV = jnp.dot(self.c_dense, V, preferred_element_type=self.dtype)
-            return 0.5 * (jnp.vdot(U, CV) + jnp.vdot(V, jnp.dot(
+            return 0.5 * (cvdot(U, CV) + cvdot(V, jnp.dot(
                 self.c_dense, U, preferred_element_type=self.dtype)))
-        return jnp.sum(self.c_sparse.contract(U, V))
+        return csum(self.c_sparse.contract(U, V))
 
     def apply_c(self, Y):
         """C @ Y (C symmetric) — the objective-only half of ``apply_w``.
@@ -377,7 +380,7 @@ class LPOps:
         return self.cid_seg(self.vals * x[self.col])
 
     def obj_value(self, u, v):
-        return jnp.vdot(self.c, u * v)
+        return cvdot(self.c, u * v)
 
     def weighted_col_sums(self, w, obj_coef=1.0):
         """Per-column (obj_coef*c_j + sum_i w_i A_ij) — the LP analog of

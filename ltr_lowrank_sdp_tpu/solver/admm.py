@@ -38,6 +38,7 @@ import numpy as np
 
 from ..config import SolverParams
 from ..ops.cg import cg_solve
+from ..ops.compsum import cvdot
 from .common import ProblemConsts, primal_infeas_l1
 
 CODE_RUN = 0
@@ -125,11 +126,13 @@ class ADMMPhase:
         self._metrics_j = jax.jit(self._metrics)
         self._chunk_cache = {}
 
-    def _chunk_j(self, mode: str, iter_ceiling: int):
-        key = (mode, iter_ceiling)
+    def _chunk_j(self, mode: str, iter_ceiling: int, chunk: int,
+                 with_grams: bool):
+        key = (mode, iter_ceiling, chunk, with_grams)
         if key not in self._chunk_cache:
             self._chunk_cache[key] = jax.jit(partial(
-                self._chunk_step, mode=mode, iter_ceiling=iter_ceiling))
+                self._chunk_step, mode=mode, iter_ceiling=iter_ceiling,
+                chunk=chunk, with_grams=with_grams))
         return self._chunk_cache[key]
 
     # ------------------------------------------------------------------ #
@@ -241,7 +244,7 @@ class ADMMPhase:
         cvals = []
         for ops, u, v, cu, cv, r in zip(self.cones, carry.U, carry.V, CU,
                                         CV, Ravg):
-            obj = obj + 0.25 * jnp.vdot(u + v, cu + cv)
+            obj = obj + 0.25 * cvdot(u + v, cu + cv)
             cvals.append(ops.constr_vals(r, r))
         constr_lp = carry.constr_lp
         if self.has_lp:
@@ -251,7 +254,7 @@ class ADMMPhase:
         carry = carry._replace(CV=CV)
 
         pobj = obj
-        dobj = jnp.vdot(self.b, carry.dual) / carry.obj_scale
+        dobj = cvdot(self.b, carry.dual) / carry.obj_scale
         pinf = primal_infeas_l1(csum, self.b, self.consts.b_nrm1)
         pinf_inf = pinf * (1.0 + self.consts.b_nrm1) / (
             1.0 + self.consts.b_nrminf)
@@ -264,17 +267,20 @@ class ADMMPhase:
     # ---------------- fused chunk ---------------- #
 
     def _chunk_step(self, carry: ADMMCarry, ctrl: ADMMCtrl, *, mode: str,
-                    iter_ceiling: int):
+                    iter_ceiling: int, chunk: Optional[int] = None,
+                    with_grams: bool = True):
         p = self.params
         dtype = self.b.dtype
-        CH = self.chunk
+        CH = self.chunk if chunk is None else chunk
         cg_tol_factor = 1e-2 if mode == "main" else 1e-4
         stats0 = jnp.zeros((CH, STAT_COLS), dtype)
         # fresh per-dispatch CG work budget
         ctrl = ctrl._replace(cg_start=ctrl.cg_total)
         # per-iteration (U+V)/2 Gram matrices for oracle-rank logging
+        # (skipped when the caller disabled oracle logging)
         grams0 = tuple(
-            jnp.zeros((CH, s[1], s[1]), dtype) for s in self.shapes)
+            jnp.zeros((CH, s[1], s[1]), dtype) for s in self.shapes
+        ) if with_grams else ()
 
         def cond(st):
             carry, ctrl, j, stats, grams = st
@@ -297,11 +303,12 @@ class ADMMPhase:
                 carry.gap, ctrl.rho, cg_iters.astype(dtype),
             ])
             stats = stats.at[j].set(row)
-            grams = tuple(
-                g.at[j].set(jnp.matmul(
-                    (0.5 * (u + v)).T, 0.5 * (u + v),
-                    preferred_element_type=dtype))
-                for g, u, v in zip(grams, carry.U, carry.V))
+            if with_grams:
+                grams = tuple(
+                    g.at[j].set(jnp.matmul(
+                        (0.5 * (u + v)).T, 0.5 * (u + v),
+                        preferred_element_type=dtype))
+                    for g, u, v in zip(grams, carry.U, carry.V))
 
             # divergence guard
             num_err = (carry.pinf_inf >= 1e10) | (carry.gap >= 1 - 1e-8)
@@ -394,6 +401,35 @@ class ADMMPhase:
             [header, stats.ravel()] + [g.ravel() for g in grams])
         return carry, ctrl, blob
 
+    def parse_blob(self, blob: np.ndarray, info: "ADMMInfo", record_cb,
+                   chunk: Optional[int] = None, with_grams: bool = True):
+        """Unpack one chunk blob into ``info`` (+ trajectory callbacks).
+
+        Returns (code, it_now, last_rho)."""
+        CH = self.chunk if chunk is None else chunk
+        code = int(blob[0])
+        it_now = int(blob[1])
+        n_done = int(blob[4])
+        if record_cb is not None and n_done:
+            srows = blob[7: 7 + CH * STAT_COLS].reshape(CH, STAT_COLS)
+            goff = 7 + CH * STAT_COLS
+            grows = []
+            if with_grams:
+                for s in self.shapes:
+                    r = int(s[1])
+                    grows.append(
+                        blob[goff: goff + CH * r * r].reshape(CH, r, r))
+                    goff += CH * r * r
+            base_it = it_now - n_done
+            for r_i in range(n_done):
+                record_cb(srows[r_i],
+                          [g[r_i] for g in grows],
+                          base_it + r_i)
+        info.iters = it_now
+        info.cg_iters_total = int(blob[2])
+        info.last_gap, info.last_pinf = float(blob[5]), float(blob[6])
+        return code, it_now, float(blob[3])
+
     # ------------------------------------------------------------------ #
 
     def init_carry(self, U, V, ulp, vlp, dual, obj_scale) -> ADMMCarry:
@@ -410,12 +446,29 @@ class ADMMPhase:
         )
         return self._metrics_j(carry)
 
+    def make_ctrl(self, rho: float, rho_max: float,
+                  iter_start: int = 0) -> ADMMCtrl:
+        dtype = self.b.dtype
+        return ADMMCtrl(
+            it=jnp.asarray(iter_start, jnp.int32),
+            rho=jnp.asarray(rho, dtype),
+            cur_rho_max=jnp.asarray(rho_max, dtype),
+            old_mean=jnp.asarray(1e30, dtype),
+            buf=jnp.zeros(10, dtype),
+            count=jnp.asarray(0, jnp.int32),
+            bad_pd=jnp.asarray(0, jnp.int32),
+            cg_total=jnp.asarray(0, jnp.int32),
+            cg_start=jnp.asarray(0, jnp.int32),
+            code=jnp.asarray(CODE_RUN, jnp.int32),
+        )
+
     def run(self, carry: ADMMCarry, rho: float, iter_start: int,
             iter_ceiling: int, time_start: float, mode: str = "main",
             record_cb=None, rho_max: Optional[float] = None,
             entry_gap: Optional[float] = None,
             entry_pinf: Optional[float] = None,
-            f64_check=None):
+            f64_check=None, ctrl0: Optional[ADMMCtrl] = None,
+            with_grams: bool = True):
         """Dispatch fused chunks until a terminal code.
 
         ``entry_gap``/``entry_pinf`` are host mirrors of ``carry.gap`` /
@@ -447,48 +500,18 @@ class ADMMPhase:
             return carry, rho, iter_start, info
 
         rho = min(rho, rho_max)
-        ctrl = ADMMCtrl(
-            it=jnp.asarray(iter_start, jnp.int32),
-            rho=jnp.asarray(rho, dtype),
-            cur_rho_max=jnp.asarray(rho_max, dtype),
-            old_mean=jnp.asarray(1e30, dtype),
-            buf=jnp.zeros(10, dtype),
-            count=jnp.asarray(0, jnp.int32),
-            bad_pd=jnp.asarray(0, jnp.int32),
-            cg_total=jnp.asarray(0, jnp.int32),
-            cg_start=jnp.asarray(0, jnp.int32),
-            code=jnp.asarray(CODE_RUN, jnp.int32),
-        )
-        step = self._chunk_j(mode, int(iter_ceiling))
-        CH = self.chunk
+        ctrl = (ctrl0 if ctrl0 is not None
+                else self.make_ctrl(rho, rho_max, iter_start))
+        step = self._chunk_j(mode, int(iter_ceiling), self.chunk, with_grams)
         last_f64_it = -10**9
         f64_every = 0
-        gram_sizes = [int(s[1]) for s in self.shapes]
         while True:
             carry, ctrl, blob = step(carry, ctrl)
             # ONE host readback per chunk
             blob = np.asarray(blob)
-            code = int(blob[0])
-            it_now = int(blob[1])
-            cg_total = int(blob[2])
-            n_done = int(blob[4])
-            if record_cb is not None and n_done:
-                srows = blob[7: 7 + CH * STAT_COLS].reshape(CH, STAT_COLS)
-                goff = 7 + CH * STAT_COLS
-                grows = []
-                for r in gram_sizes:
-                    grows.append(
-                        blob[goff: goff + CH * r * r].reshape(CH, r, r))
-                    goff += CH * r * r
-                base_it = it_now - n_done
-                for r_i in range(n_done):
-                    record_cb(srows[r_i],
-                              [g[r_i] for g in grows],
-                              base_it + r_i)
-            info.iters = it_now
-            info.cg_iters_total = cg_total
-            last_gap, last_pinf, last_rho = blob[5], blob[6], blob[3]
-            info.last_gap, info.last_pinf = float(last_gap), float(last_pinf)
+            code, it_now, last_rho = self.parse_blob(
+                blob, info, record_cb, with_grams=with_grams)
+            last_gap, last_pinf = info.last_gap, info.last_pinf
             if code == CODE_NUM_ERR:
                 info.num_err = True
                 break

@@ -35,6 +35,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import SolverParams
+from ..ops.compsum import cvdot
 from ..ops.cubic import quartic_linesearch
 from ..ops import lbfgs as lbfgs_mod
 from .common import (
@@ -240,7 +241,7 @@ class ALMPhase:
         obj, cvals = self._obj_and_constr(carry.R, carry.R, carry.rlp,
                                           carry.rlp)
         pobj = obj
-        dobj = jnp.vdot(self.b, carry.dual) / carry.obj_scale
+        dobj = cvdot(self.b, carry.dual) / carry.obj_scale
         pinf = primal_infeas_l1(cvals, self.b, self.consts.b_nrm1)
         gap = jnp.abs(pobj - dobj) / (1.0 + jnp.abs(pobj) + jnp.abs(dobj))
         pinf_inf = pinf * (1.0 + self.consts.b_nrm1) / (
@@ -697,6 +698,31 @@ class ALMPhase:
         """ALG_START block: fresh constraint values, certificates, metrics."""
         return self._prepare_j(carry)
 
+    def parse_rows(self, rows: np.ndarray, n_done: int,
+                   info: "ALMOuterInfo", record_cb=None) -> int:
+        """Unpack the packed per-outer-iteration stats rows into ``info``
+        (+ trajectory callbacks).  Returns the last exit code seen."""
+        gram_sizes = [int(s[1]) for s in self.shapes]
+        code = CODE_CONTINUE
+        for j in range(n_done):
+            row = rows[j]
+            code = int(row[0])
+            info.outer_iter = int(row[1])
+            info.inner_iter = int(row[2])
+            info.rank_flag = int(row[3])
+            info.pobj, info.dobj = float(row[4]), float(row[5])
+            info.pinf_l1, info.pinf_inf = float(row[6]), float(row[7])
+            info.gap, info.rho = float(row[8]), float(row[9])
+            if record_cb is not None and code in (CODE_CONTINUE,
+                                                  CODE_CONVERGED):
+                grams = []
+                off = 10
+                for r in gram_sizes:
+                    grams.append(row[off: off + r * r].reshape(r, r))
+                    off += r * r
+                record_cb(row, info.outer_iter, info.inner_iter, grams)
+        return code
+
     def run(
         self,
         carry: ALMCarry,
@@ -728,30 +754,11 @@ class ALMPhase:
                                rho_update_factor, dtype=self.b.dtype)
         step = self._phase_step_j(mode, early_stop, is_rank_max,
                                   float(rank_thresh), int(max_alm_iter))
-        gram_sizes = [int(s[1]) for s in self.shapes]
         while True:
             carry, ctrl, n_done, buf = step(carry, ctrl)
             # ONE host readback per dispatch: the packed stats buffer
             rows = np.asarray(buf)
-            n_done = int(n_done)
-            code = CODE_CONTINUE
-            for j in range(n_done):
-                row = rows[j]
-                code = int(row[0])
-                info.outer_iter = int(row[1])
-                info.inner_iter = int(row[2])
-                info.rank_flag = int(row[3])
-                info.pobj, info.dobj = float(row[4]), float(row[5])
-                info.pinf_l1, info.pinf_inf = float(row[6]), float(row[7])
-                info.gap, info.rho = float(row[8]), float(row[9])
-                if record_cb is not None and code in (CODE_CONTINUE,
-                                                      CODE_CONVERGED):
-                    grams = []
-                    off = 10
-                    for r in gram_sizes:
-                        grams.append(row[off: off + r * r].reshape(r, r))
-                        off += r * r
-                    record_cb(row, info.outer_iter, info.inner_iter, grams)
+            code = self.parse_rows(rows, int(n_done), info, record_cb)
             if code == CODE_CONVERGED:
                 info.converged = True
                 return carry, info

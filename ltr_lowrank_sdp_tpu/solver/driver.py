@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import dataclasses
 import time
+from functools import partial
 from typing import Dict, List, Optional, Tuple
 
 import jax
@@ -35,8 +36,10 @@ from ..config import OracleRankMethod, SolverParams, SolverStatus
 from ..ops.coneops import build_cone_ops_internal
 from ..ops.lanczos import lanczos_tridiag, tridiag_min_eig
 from ..problem import SDPProblem
-from .alm import ALMPhase, make_alm_carry
-from .admm import ADMMPhase
+from . import alm as alm_mod
+from . import admm as admm_mod
+from .alm import ALMPhase, ALMOuterInfo, make_alm_carry, make_outer_ctrl
+from .admm import ADMMCarry, ADMMInfo, ADMMPhase
 from .common import ProblemConsts, host_metrics_f64, init_factors
 from .logging import TrajectoryLogger
 from .rank import RankState, make_rank_state, pad_factor_tuple
@@ -136,45 +139,198 @@ class Solver:
         return self._phase_cache[key]
 
     # ------------------------------------------------------------------ #
+    # fused main pass: ALM -> handoff -> ADMM -> certification, ONE
+    # dispatch / ONE readback in the common no-reopt case.  Under a
+    # remote-TPU tunnel each blocking readback costs ~30-40 ms; the classic
+    # per-phase driver pays 5-8 of them even on an instance whose entire
+    # solve is a few tens of milliseconds of device work.
+    # ------------------------------------------------------------------ #
+
+    def _final_len(self, ranks) -> int:
+        total = 0
+        for ops in self.cones:
+            total += 2 * min(self._lanczos_k(ops), ops.n)
+        total += 1
+        total += sum(int(r) * int(r) for r in ranks)
+        return total
+
+    def _handoff_admm(self, carry, ctrl, rho_max_in, *, admm,
+                      with_grams: bool, admm_chunk: int):
+        """Traced speculative handoff + first ADMM segment.
+
+        Chained after an ALM ``_phase_step`` dispatch WITHOUT a host
+        readback: the decision whether ADMM runs is a device value
+        (``ctrl.code``), so the host can enqueue this unconditionally and
+        block only once, at the very end of the chain.  When the ALM
+        segment did not finish, the cond skips all work.  Kept as its own
+        jit (rather than one fused mega-program with the ALM loop) because
+        XLA compile time grows superlinearly in program size."""
+        p = self.params
+        dtype = self.dtype
+
+        go_admm = (ctrl.code == alm_mod.CODE_CONVERGED) | (
+            ctrl.code == alm_mod.CODE_MAXITER)
+
+        # ---- handoff rho law (LORADS_ALMtoADMM, lorads_solver.c:1351) ----
+        alm_rho = carry.rho
+        over = alm_rho > rho_max_in
+        clamped = jnp.minimum(
+            jnp.sqrt(jnp.maximum(rho_max_in, alm_rho) / rho_max_in)
+            * rho_max_in, alm_rho)
+        admm_rho0 = jnp.where(over, clamped, alm_rho * p.heuristic_factor)
+        rho_max_new = jnp.where(go_admm & over, admm_rho0, rho_max_in)
+        admm_rho0 = jnp.minimum(admm_rho0, rho_max_new)
+
+        entry_done = (carry.gap <= p.phase2_tol) & (
+            carry.pinf_l1 <= p.phase2_tol)
+        run_admm = go_admm & ~entry_done
+
+        def mk_carry() -> ADMMCarry:
+            return ADMMCarry(
+                U=carry.R, V=carry.R, ulp=carry.rlp, vlp=carry.rlp,
+                dual=carry.dual,
+                constr_val=tuple(jnp.zeros_like(self.b)
+                                 for _ in self.cones),
+                constr_lp=(jnp.zeros_like(self.b)
+                           if admm.has_lp else None),
+                constr_sum=jnp.zeros_like(self.b),
+                CV=tuple(jnp.zeros_like(r) for r in carry.R),
+                obj_scale=carry.obj_scale,
+                pobj=carry.pobj, dobj=carry.dobj,
+                pinf_l1=carry.pinf_l1, pinf_inf=carry.pinf_inf,
+                gap=carry.gap)
+
+        actrl0 = admm_mod.ADMMCtrl(
+            it=jnp.asarray(0, jnp.int32), rho=admm_rho0,
+            cur_rho_max=rho_max_new,
+            old_mean=jnp.asarray(1e30, dtype), buf=jnp.zeros(10, dtype),
+            count=jnp.asarray(0, jnp.int32),
+            bad_pd=jnp.asarray(0, jnp.int32),
+            cg_total=jnp.asarray(0, jnp.int32),
+            cg_start=jnp.asarray(0, jnp.int32),
+            code=jnp.asarray(admm_mod.CODE_RUN, jnp.int32))
+
+        gram_elems = (sum(int(r.shape[1]) ** 2 for r in carry.R)
+                      if with_grams else 0)
+        admm_blob_len = 7 + admm_chunk * (admm_mod.STAT_COLS + gram_elems)
+
+        def do_admm(_):
+            ac = admm._metrics(mk_carry())
+            ac = ac._replace(pinf_l1=carry.pinf_l1,
+                             pinf_inf=carry.pinf_inf, gap=carry.gap)
+            return admm._chunk_step(
+                ac, actrl0, mode="main", iter_ceiling=p.max_admm_iter,
+                chunk=admm_chunk, with_grams=with_grams)
+
+        def skip_admm(_):
+            return (mk_carry(), actrl0,
+                    jnp.zeros((admm_blob_len,), dtype))
+
+        ac, actrl, admm_blob = jax.lax.cond(run_admm, do_admm, skip_admm,
+                                            None)
+
+        flags = jnp.stack([
+            run_admm.astype(dtype),
+            (go_admm & entry_done).astype(dtype),   # "converged at entry"
+            rho_max_new, admm_rho0, go_admm.astype(dtype),
+        ])
+        return ac, actrl, admm_blob, flags
+
+    def _fused_final(self, ac, actrl, flags, key):
+        """Traced speculative certification segment (chained after
+        _handoff_admm, same no-readback trick)."""
+        dtype = self.dtype
+        run_admm = flags[0] > 0
+        skip_conv = flags[1] > 0
+        terminal = ((actrl.code == admm_mod.CODE_CONVERGED)
+                    | (actrl.code == admm_mod.CODE_PINF_OK)
+                    | (actrl.code == admm_mod.CODE_DONE)
+                    | (actrl.code == admm_mod.CODE_NUM_ERR)
+                    | (actrl.code == admm_mod.CODE_BAD_ITER))
+        do_final = skip_conv | (run_admm & terminal)
+        flen = self._final_len([int(u.shape[1]) for u in ac.U])
+        return jax.lax.cond(
+            do_final,
+            lambda _: self._final_traced(ac.U, ac.V, -ac.dual,
+                                         ac.obj_scale, key),
+            lambda _: jnp.zeros((flen,), dtype), None)
+
+    def _handoff_admm_j(self, ranks, with_grams: bool, admm_chunk: int):
+        key = (tuple(ranks), with_grams, admm_chunk)
+        if not hasattr(self, "_ha_cache"):
+            self._ha_cache = {}
+        if key not in self._ha_cache:
+            _, admm = self.phases(ranks)
+            self._ha_cache[key] = jax.jit(partial(
+                self._handoff_admm, admm=admm, with_grams=with_grams,
+                admm_chunk=admm_chunk))
+        return self._ha_cache[key]
+
+    def _fused_final_j(self):
+        if not hasattr(self, "_ff_fn"):
+            self._ff_fn = jax.jit(self._fused_final)
+        return self._ff_fn
+
+    # ------------------------------------------------------------------ #
 
     def _lanczos_k(self, ops) -> int:
         return min(max(32, 2 * int(np.sqrt(ops.n)) + 20), 100)
 
-    def _final_j(self):
-        """One jitted executable for the whole end-of-solve device pass:
+    def _final_traced(self, U, V, neg_lam, obj_scale, key):
+        """The whole end-of-solve device pass as one traced function:
         every cone's dual-slack Lanczos recurrence, the LP dual column sums,
-        and the (U+V)/2 Gram matrices for final oracle rank — one dispatch
-        returning ONE packed blob (single host readback)."""
-        if getattr(self, "_final_fn", None) is not None:
-            return self._final_fn
-
+        and the (U+V)/2 Gram matrices for final oracle rank — ONE packed
+        blob (single host readback).  Composable into the fused solve."""
         cones, lp, dtype = self.cones, self.lp, self.dtype
+        parts = []
+        for i, ops in enumerate(cones):
+            def mv(y, ops=ops):
+                out = ops.apply_w(neg_lam, y[:, None],
+                                  obj_coef=obj_scale, include_obj=True)
+                return out[:, 0]
 
-        def run(U, V, neg_lam, obj_scale, key):
-            parts = []
-            for i, ops in enumerate(cones):
-                def mv(y, ops=ops):
-                    out = ops.apply_w(neg_lam, y[:, None],
-                                      obj_coef=obj_scale, include_obj=True)
-                    return out[:, 0]
+            alphas, betas = lanczos_tridiag(
+                mv, ops.n, jax.random.fold_in(key, i),
+                num_iters=self._lanczos_k(ops), dtype=dtype)
+            parts.extend([alphas, betas])
+        lp_term = (
+            jnp.sum(jnp.abs(jnp.minimum(
+                lp.weighted_col_sums(neg_lam, obj_coef=obj_scale), 0.0)))
+            if lp is not None else jnp.asarray(0.0, dtype))
+        parts.append(lp_term[None])
+        for u, v in zip(U, V):
+            g = jnp.matmul((0.5 * (u + v)).T, 0.5 * (u + v),
+                           preferred_element_type=dtype)
+            parts.append(g.ravel())
+        return jnp.concatenate(parts)
 
-                alphas, betas = lanczos_tridiag(
-                    mv, ops.n, jax.random.fold_in(key, i),
-                    num_iters=self._lanczos_k(ops), dtype=dtype)
-                parts.extend([alphas, betas])
-            lp_term = (
-                jnp.sum(jnp.abs(jnp.minimum(
-                    lp.weighted_col_sums(neg_lam, obj_coef=obj_scale), 0.0)))
-                if lp is not None else jnp.asarray(0.0, dtype))
-            parts.append(lp_term[None])
-            for u, v in zip(U, V):
-                g = jnp.matmul((0.5 * (u + v)).T, 0.5 * (u + v),
-                               preferred_element_type=dtype)
-                parts.append(g.ravel())
-            return jnp.concatenate(parts)
-
-        self._final_fn = jax.jit(run)
+    def _final_j(self):
+        if getattr(self, "_final_fn", None) is None:
+            self._final_fn = jax.jit(self._final_traced)
         return self._final_fn
+
+    def _parse_final(self, blob: np.ndarray, ranks, obj_scale: float):
+        """Unpack a _final_traced blob -> (dinf_l1, grams)."""
+        total = 0.0
+        off = 0
+        for ops in self.cones:
+            k = min(self._lanczos_k(ops), ops.n)
+            alphas = blob[off: off + k]
+            betas = blob[off + k: off + 2 * k]
+            off += 2 * k
+            lam_min = tridiag_min_eig(alphas, betas)
+            total += abs(min(lam_min, 0.0))
+        total += float(blob[off])
+        off += 1
+        grams = []
+        for r in ranks:
+            r = int(r)
+            grams.append(blob[off: off + r * r].reshape(r, r)
+                         .astype(np.float64))
+            off += r * r
+        total /= obj_scale
+        total /= self.consts.c_nrm1 + 1.0
+        return total, grams
 
     def dual_infeasibility(self, dual, obj_scale: float,
                            U=None, V=None):
@@ -191,26 +347,7 @@ class Solver:
         blob = np.asarray(self._final_j()(
             U, V, -dual, jnp.asarray(obj_scale, self.dtype),
             jax.random.PRNGKey(7)))
-        total = 0.0
-        off = 0
-        for ops in self.cones:
-            k = min(self._lanczos_k(ops), ops.n)
-            alphas = blob[off: off + k]
-            betas = blob[off + k: off + 2 * k]
-            off += 2 * k
-            lam_min = tridiag_min_eig(alphas, betas)
-            total += abs(min(lam_min, 0.0))
-        total += float(blob[off])
-        off += 1
-        grams = []
-        for u in U:
-            r = int(u.shape[1])
-            grams.append(blob[off: off + r * r].reshape(r, r)
-                         .astype(np.float64))
-            off += r * r
-        total /= obj_scale
-        total /= self.consts.c_nrm1 + 1.0
-        return total, grams
+        return self._parse_final(blob, [u.shape[1] for u in U], obj_scale)
 
     # ------------------------------------------------------------------ #
 
@@ -257,9 +394,12 @@ class Solver:
         rho_h = rho0
 
         def f64_check(admm_c):
-            """Re-evaluate the averaged ADMM iterate in f64 on the host
-            (see ADMMPhase.run: the f32 device gap has a summation noise
-            floor that can exceed phase2Tol on large instances)."""
+            """Re-evaluate the averaged ADMM iterate in f64 on the host.
+
+            Debugging aid only (costs a full factor transfer per call): the
+            device metrics already use compensated double-single reductions
+            (ops/compsum.py), so the f32 gap no longer plateaus above
+            tolerance and this check is off by default."""
             U_h, V_h, ulp_h, vlp_h, dual_h = jax.device_get(
                 (admm_c.U, admm_c.V, admm_c.ulp, admm_c.vlp, admm_c.dual))
             U_h, V_h = self._factors_out(U_h), self._factors_out(V_h)
@@ -273,7 +413,8 @@ class Solver:
             return host_metrics_f64(prob, Ravg, Ravg, rlp_avg, rlp_avg,
                                     dual_h, obj_scale_h)
 
-        f64_checker = f64_check if dtype != jnp.float64 else None
+        f64_checker = (f64_check if dtype != jnp.float64
+                       and params.host_f64_verify else None)
 
         def alm_record(row, k, inner, grams):
             logger.record_alm_row(row, k, inner, grams,
@@ -284,83 +425,153 @@ class Solver:
                                    sum(rank_state.ranks), prob.n_cones,
                                    time.time() - t0)
 
-        # =============== Phase I: ALM with rank escalation ============== #
-        last_outer_start = 1
+        # ===== fused main pass: ALM -> handoff -> ADMM -> certification = #
+        # One dispatch / one readback per segment; in the common case
+        # (no rank escalation, no reopt) the entire solve is ONE readback.
+        key7 = jax.random.PRNGKey(7)
+        with_grams = not params.disable_oracle
+        admm_chunk = 50
+        carry = alm.prepare(carry)
+        ctrl = make_outer_ctrl(params, 1, 1, params.alm_rho_factor,
+                               dtype=dtype)
+        info = ALMOuterInfo(outer_iter=1)
+        ainfo = ADMMInfo()
+        admm_carry = None
+        admm_rho = rho0 * params.heuristic_factor
+        alm_gap_h = alm_pinf_h = admm_gap_h = admm_pinf_h = None
+        admm_bad_iter = False
+        dinf_parsed = None   # (dinf_l1, grams) from a fused final blob
+
         while True:
-            carry, info = alm.run(
-                carry, alm_outer, t0, mode="main",
-                is_rank_max=rank_state.is_rank_max,
-                record_cb=alm_record,
-                last_outer_start=last_outer_start,
-                rank_thresh=rank_state.stall_threshold(params),
-            )
-            alm_outer = info.outer_iter
-            alm_inner_total += info.inner_iter
-            if info.num_err:
+            # three chained ASYNC dispatches (ALM segment; speculative
+            # handoff+ADMM; speculative certification) followed by ONE
+            # blocking readback — each piece compiles as its own small
+            # XLA program (a single fused program was observed to take
+            # ~10x longer to compile for zero runtime gain)
+            step = alm._phase_step_j(
+                "main", False, rank_state.is_rank_max,
+                float(rank_state.stall_threshold(params)),
+                int(params.max_alm_iter))
+            ha = self._handoff_admm_j(rank_state.ranks, with_grams,
+                                      admm_chunk)
+            carry, ctrl, n_alm, alm_buf = step(carry, ctrl)
+            ac, actrl, admm_blob, flags = ha(
+                carry, ctrl, jnp.asarray(rho_max_cur, dtype))
+            final_blob = self._fused_final_j()(ac, actrl, flags, key7)
+            # ONE blocking readback for everything the host must decide on
+            (n_alm_h, alm_rows, admm_blob_h, final_blob_h,
+             flags_h) = jax.device_get(
+                 (n_alm, alm_buf, admm_blob, final_blob, flags))
+            code = alm.parse_rows(alm_rows, int(n_alm_h), info, alm_record)
+            if info.rho is not None:
+                rho_h = info.rho
+            if code == alm_mod.CODE_NUM_ERR:
                 num_err = True
+                alm_inner_total += info.inner_iter
+                alm_outer = info.outer_iter
                 logger.log("*Numerical Fail in ALM; continuing with best "
                            "iterate\n")
                 break
-            if info.time_limit:
-                time_limit = True
-                break
-            if info.rho is not None:
-                rho_h = info.rho
-            if info.rank_flag and not rank_state.is_rank_max:
+            if code == alm_mod.CODE_ESCALATE:
+                alm_inner_total += info.inner_iter
+                alm_outer = info.outer_iter
                 changed = rank_state.escalate(params.rank_update_factor)
-                if not changed:
-                    break
-                logger.log(f"increase the rank -> {rank_state.ranks}\n")
-                R_new = pad_factor_tuple(carry.R, rank_state.ranks)
-                alm, admm = self.phases(rank_state.ranks)
-                carry = make_alm_carry(
-                    R_new, carry.rlp, prob.m, alm.n_elems, rho_h,
-                    params, dtype, dual=carry.dual, obj_scale=obj_scale_h,
-                )
-                last_outer_start = alm_outer
+                if changed:
+                    logger.log(f"increase the rank -> {rank_state.ranks}\n")
+                    R_new = pad_factor_tuple(carry.R, rank_state.ranks)
+                    alm, admm = self.phases(rank_state.ranks)
+                    carry = make_alm_carry(
+                        R_new, carry.rlp, prob.m, alm.n_elems, rho_h,
+                        params, dtype, dual=carry.dual,
+                        obj_scale=obj_scale_h)
+                    carry = alm.prepare(carry)
+                else:
+                    # at the rank cap: disable further escalation requests
+                    rank_state.fixed = True
+                ctrl = make_outer_ctrl(params, alm_outer, alm_outer,
+                                       params.alm_rho_factor, dtype=dtype)
+                info = ALMOuterInfo(outer_iter=alm_outer)
                 continue
+            if code == alm_mod.CODE_CONTINUE:
+                # max-outer / work-budget boundary: just re-dispatch
+                if time.time() - t0 > params.time_sec_limit:
+                    time_limit = True
+                    alm_inner_total += info.inner_iter
+                    alm_outer = info.outer_iter
+                    break
+                continue
+
+            # ---- ALM finished (CONVERGED or MAXITER) ----
+            alm_inner_total += info.inner_iter
+            alm_outer = info.outer_iter
+            if code == alm_mod.CODE_MAXITER:
+                info.rank_flag = 0
+            run_admm_f, skip_conv_f, rho_max_f, admm_rho0_f, _ = (
+                float(v) for v in flags_h)
+            rho_max_cur = rho_max_f
+            admm_rho = admm_rho0_f
+            admm_carry = ac
+            do_final_f = bool(skip_conv_f)
+            alm_gap_h, alm_pinf_h = info.gap, info.pinf_l1
+            if run_admm_f:
+                admm_code, admm_it, admm_rho = admm.parse_blob(
+                    admm_blob_h, ainfo, admm_record, chunk=admm_chunk,
+                    with_grams=with_grams)
+                cg_total = ainfo.cg_iters_total
+                admm_gap_h, admm_pinf_h = ainfo.last_gap, ainfo.last_pinf
+                admm_bad_iter = admm_code == admm_mod.CODE_BAD_ITER
+                num_err = num_err or admm_code == admm_mod.CODE_NUM_ERR
+                do_final_f = admm_code != admm_mod.CODE_RUN
+                if admm_code == admm_mod.CODE_RUN:
+                    # fused chunk/budget exhausted: continue with the
+                    # classic chunked ADMM driver from the same state
+                    if time.time() - t0 > params.time_sec_limit:
+                        time_limit = True
+                    else:
+                        admm_carry, admm_rho, admm_it, ainfo2 = admm.run(
+                            admm_carry, admm_rho, admm_it,
+                            params.max_admm_iter, t0, mode="main",
+                            record_cb=admm_record, rho_max=rho_max_cur,
+                            entry_gap=admm_gap_h, entry_pinf=admm_pinf_h,
+                            f64_check=f64_checker, ctrl0=actrl,
+                            with_grams=with_grams)
+                        cg_total = ainfo2.cg_iters_total
+                        admm_bad_iter = ainfo2.bad_iter
+                        time_limit = time_limit or ainfo2.time_limit
+                        num_err = num_err or ainfo2.num_err
+                        admm_gap_h = ainfo2.last_gap
+                        admm_pinf_h = ainfo2.last_pinf
+            else:
+                # ADMM skipped: ALM already met phase2 tolerances
+                admm_gap_h, admm_pinf_h = info.gap, info.pinf_l1
+            if do_final_f:
+                dinf_parsed = self._parse_final(
+                    final_blob_h, rank_state.ranks, obj_scale_h)
             break
 
         if time.time() - t0 > params.time_sec_limit:
             time_limit = True
-        mark("alm")
-
-        # =============== handoff + Phase II: ADMM ======================= #
-        alm_rho, obj_scale_now = rho_h, obj_scale_h
-        admm_rho = alm_rho * params.heuristic_factor
-        if alm_rho > rho_max_cur:
-            admm_rho = min(
-                np.sqrt(max(rho_max_cur, alm_rho) / rho_max_cur)
-                * rho_max_cur, alm_rho)
-            rho_max_cur = admm_rho
-
-        U = tuple(r for r in carry.R)
-        V = tuple(jnp.array(r) for r in carry.R)
-        ulp = carry.rlp
-        vlp = jnp.array(carry.rlp) if carry.rlp is not None else None
-        admm_carry = admm.init_carry(U, V, ulp, vlp, carry.dual,
-                                     obj_scale_now)
-        admm_carry = admm_carry._replace(
-            pinf_l1=carry.pinf_l1, pinf_inf=carry.pinf_inf, gap=carry.gap)
-        mark("handoff")
-
-        # host mirrors of the phase-exit metrics for control decisions
-        alm_gap_h, alm_pinf_h = info.gap, info.pinf_l1
-        admm_gap_h = admm_pinf_h = None
-
-        admm_bad_iter = False
-        if not time_limit and not num_err:
-            admm_carry, admm_rho, admm_it, ainfo = admm.run(
-                admm_carry, admm_rho, 0, params.max_admm_iter, t0,
-                mode="main", record_cb=admm_record, rho_max=rho_max_cur,
-                entry_gap=alm_gap_h, entry_pinf=alm_pinf_h,
-                f64_check=f64_checker)
-            cg_total += ainfo.cg_iters_total
-            admm_bad_iter = ainfo.bad_iter
-            time_limit = time_limit or ainfo.time_limit
-            num_err = num_err or ainfo.num_err
-            admm_gap_h, admm_pinf_h = ainfo.last_gap, ainfo.last_pinf
-        mark("admm")
+        if admm_carry is None:
+            # num-err / time-limit exit before the fused handoff ran:
+            # materialize the handoff state classically
+            alm_rho = rho_h
+            admm_rho = alm_rho * params.heuristic_factor
+            if alm_rho > rho_max_cur:
+                admm_rho = min(
+                    np.sqrt(max(rho_max_cur, alm_rho) / rho_max_cur)
+                    * rho_max_cur, alm_rho)
+                rho_max_cur = admm_rho
+            U = tuple(r for r in carry.R)
+            V = tuple(jnp.array(r) for r in carry.R)
+            ulp = carry.rlp
+            vlp = jnp.array(carry.rlp) if carry.rlp is not None else None
+            admm_carry = admm.init_carry(U, V, ulp, vlp, carry.dual,
+                                         obj_scale_h)
+            admm_carry = admm_carry._replace(
+                pinf_l1=carry.pinf_l1, pinf_inf=carry.pinf_inf,
+                gap=carry.gap)
+            alm_gap_h, alm_pinf_h = info.gap, info.pinf_l1
+        mark("fused_main")
 
         # =============== reopt rounds =================================== #
         def sync_alm_from_admm(c_alm, c_admm):
@@ -424,7 +635,8 @@ class Solver:
                     c_admm, rho2, admm_it, ceiling, t0, mode="reopt",
                     record_cb=admm_record, rho_max=rho_max_cur,
                     entry_gap=alm_gap_h, entry_pinf=alm_pinf_h,
-                    f64_check=f64_checker)
+                    f64_check=f64_checker,
+                    with_grams=not params.disable_oracle)
                 cg_total += ainfo.cg_iters_total
                 admm_bad_iter = ainfo.bad_iter
                 time_limit = time_limit or ainfo.time_limit
@@ -464,10 +676,14 @@ class Solver:
 
         mark("reopt1")
 
-        # dual infeasibility certification
+        # dual infeasibility certification (already computed inside the
+        # fused dispatch when the main pass ended there)
         scale_now = obj_scale_h
-        dinf_l1, final_grams = self.dual_infeasibility(
-            admm_carry.dual, scale_now, admm_carry.U, admm_carry.V)
+        if dinf_parsed is not None:
+            dinf_l1, final_grams = dinf_parsed
+        else:
+            dinf_l1, final_grams = self.dual_infeasibility(
+                admm_carry.dual, scale_now, admm_carry.U, admm_carry.V)
         dinf_inf = dinf_l1 * (1 + self.consts.c_nrm1) / (
             1 + self.consts.c_nrminf)
         mark("dinf")
@@ -513,21 +729,25 @@ class Solver:
         mark("reopt2")
 
         # =============== status + outputs =============================== #
-        # ONE batched device->host pull of everything the outputs need
-        (gap, pinf_l1, pinf_inf, pobj, dobj, U_h, V_h, ulp_h, vlp_h,
-         dual_h) = jax.device_get((
-             admm_carry.gap, admm_carry.pinf_l1, admm_carry.pinf_inf,
-             admm_carry.pobj, admm_carry.dobj, admm_carry.U, admm_carry.V,
-             admm_carry.ulp, admm_carry.vlp, admm_carry.dual))
-        gap, pinf_l1, pinf_inf = float(gap), float(pinf_l1), float(pinf_inf)
-        pobj, dobj = float(pobj), float(dobj)
-        # convert to the problem's original row / constraint order
-        U_h, V_h = self._factors_out(U_h), self._factors_out(V_h)
-        dual_h = self._dual_out(dual_h)
-        if dtype != jnp.float64:
-            # re-verify the final iterate in f64 on the host: f32 device
-            # metrics sit at the f32 noise floor (the reference reports
-            # all-double DIMACS errors, main.c:592-602)
+        # ONE batched device->host pull of the scalar metrics (device values
+        # use compensated reductions, so they are trusted as-is); the full
+        # factor transfer happens only when the caller asked for factors or
+        # a host-side f64 re-verification
+        want_factors = params.return_factors or (
+            params.host_f64_verify and dtype != jnp.float64)
+        (gap, pinf_l1, pinf_inf, pobj, dobj) = _fetch(
+            admm_carry.gap, admm_carry.pinf_l1, admm_carry.pinf_inf,
+            admm_carry.pobj, admm_carry.dobj)
+        U_h = V_h = ulp_h = vlp_h = dual_h = None
+        if want_factors:
+            U_h, V_h, ulp_h, vlp_h, dual_h = jax.device_get(
+                (admm_carry.U, admm_carry.V, admm_carry.ulp,
+                 admm_carry.vlp, admm_carry.dual))
+            # convert to the problem's original row / constraint order
+            U_h, V_h = self._factors_out(U_h), self._factors_out(V_h)
+            dual_h = self._dual_out(dual_h)
+        if params.host_f64_verify and dtype != jnp.float64:
+            # debugging aid: recompute the final DIMACS errors in f64 numpy
             Ravg = tuple(0.5 * (np.asarray(u, np.float64)
                                 + np.asarray(v, np.float64))
                          for u, v in zip(U_h, V_h))

@@ -128,3 +128,31 @@ def test_sdp_plus_lp_cone(tmp_path):
     # reader negates SDPA objective entries (max convention -> min <C,X>),
     # so writing -1/-2 above yields min tr(X) + 2 y1 + y2 = 3
     assert abs(res.pobj - 3.0) < 1e-3
+
+
+def test_g11_rank_escalation(g11_path):
+    """Dynamic rank escalation through the fused driver: start far below
+    the natural MaxCut rank and let the difficulty grading escalate
+    (AUG_RANK semantics, lorads_solver.c:1154)."""
+    prob = load_problem(g11_path)
+    params = SolverParams(init_rank=1, dyrank_level=3, phase1_tol=1e-2,
+                          heuristic_factor=10.0, disable_oracle=True,
+                          reopt_level=1, return_factors=False)
+    res = solve(prob, params)
+    assert res.final_ranks[0] > 1          # escalated at least once
+    assert res.pinf_l1 <= 1e-5
+    assert res.gap <= 5e-5
+
+
+def test_g11_rank_schedule_injection(g11_path):
+    """--rankSchedule semantics: follow the prescribed trajectory, advancing
+    on the (near_stall_factor-scaled) stall signal."""
+    prob = load_problem(g11_path)
+    params = SolverParams(rank_schedule=[4, 8, 14], near_stall_factor=0.7,
+                          phase1_tol=1e-2, heuristic_factor=10.0,
+                          disable_oracle=True, reopt_level=1,
+                          return_factors=False)
+    res = solve(prob, params)
+    assert res.final_ranks[0] in (4, 8, 14)
+    assert res.pinf_l1 <= 1e-5
+    assert res.gap <= 5e-5
