@@ -50,6 +50,7 @@ CODE_DONE = 5         # overall while-condition turned false
 CODE_CEILING = 6
 
 STAT_COLS = 7  # pobj dobj pinf_l1 pinf_inf gap rho cg_iters
+HEADER_LEN = 10  # code it cg_total rho n_done gap pinf_l1 pinf_inf pobj dobj
 
 
 class ADMMCarry(NamedTuple):
@@ -95,6 +96,12 @@ class ADMMInfo:
     # extra device->host syncs in the driver's control logic)
     last_gap: Optional[float] = None
     last_pinf: Optional[float] = None
+    last_pinf_inf: Optional[float] = None
+    last_pobj: Optional[float] = None
+    last_dobj: Optional[float] = None
+    # speculative certification blob (driver's _fused_final) read back
+    # alongside the terminal chunk when a final_fn was chained
+    final_blob: Optional[np.ndarray] = None
 
 
 class ADMMPhase:
@@ -396,6 +403,7 @@ class ADMMPhase:
             ctrl.code.astype(dtype), ctrl.it.astype(dtype),
             ctrl.cg_total.astype(dtype), ctrl.rho, j.astype(dtype),
             carry.gap, carry.pinf_l1,
+            carry.pinf_inf, carry.pobj, carry.dobj,
         ])
         blob = jnp.concatenate(
             [header, stats.ravel()] + [g.ravel() for g in grams])
@@ -411,8 +419,9 @@ class ADMMPhase:
         it_now = int(blob[1])
         n_done = int(blob[4])
         if record_cb is not None and n_done:
-            srows = blob[7: 7 + CH * STAT_COLS].reshape(CH, STAT_COLS)
-            goff = 7 + CH * STAT_COLS
+            srows = blob[HEADER_LEN: HEADER_LEN + CH * STAT_COLS].reshape(
+                CH, STAT_COLS)
+            goff = HEADER_LEN + CH * STAT_COLS
             grows = []
             if with_grams:
                 for s in self.shapes:
@@ -428,6 +437,8 @@ class ADMMPhase:
         info.iters = it_now
         info.cg_iters_total = int(blob[2])
         info.last_gap, info.last_pinf = float(blob[5]), float(blob[6])
+        info.last_pinf_inf = float(blob[7])
+        info.last_pobj, info.last_dobj = float(blob[8]), float(blob[9])
         return code, it_now, float(blob[3])
 
     # ------------------------------------------------------------------ #
@@ -468,8 +479,15 @@ class ADMMPhase:
             entry_gap: Optional[float] = None,
             entry_pinf: Optional[float] = None,
             f64_check=None, ctrl0: Optional[ADMMCtrl] = None,
-            with_grams: bool = True):
+            with_grams: bool = True, final_fn=None):
         """Dispatch fused chunks until a terminal code.
+
+        ``final_fn(carry, ctrl) -> blob`` optionally chains the driver's
+        speculative certification pass (dual-infeasibility Lanczos + final
+        Gram spectra) onto every chunk dispatch; the blob rides the same
+        readback, so a chunk that ends the phase needs NO extra device
+        round-trip for certification (the in-graph cond makes the
+        speculation free when the chunk is not terminal).
 
         ``entry_gap``/``entry_pinf`` are host mirrors of ``carry.gap`` /
         ``carry.pinf_l1`` (known to the driver from the preceding ALM stats
@@ -507,11 +525,20 @@ class ADMMPhase:
         f64_every = 0
         while True:
             carry, ctrl, blob = step(carry, ctrl)
-            # ONE host readback per chunk
-            blob = np.asarray(blob)
+            # ONE host readback per chunk (the speculative certification
+            # blob, when chained, rides the same transfer)
+            if final_fn is not None:
+                fblob = final_fn(carry, ctrl)
+                blob, fblob = jax.device_get((blob, fblob))
+            else:
+                blob = np.asarray(blob)
+                fblob = None
             code, it_now, last_rho = self.parse_blob(
                 blob, info, record_cb, with_grams=with_grams)
             last_gap, last_pinf = info.last_gap, info.last_pinf
+            if code in (CODE_NUM_ERR, CODE_BAD_ITER, CODE_CONVERGED,
+                        CODE_PINF_OK, CODE_DONE):
+                info.final_blob = fblob
             if code == CODE_NUM_ERR:
                 info.num_err = True
                 break

@@ -212,7 +212,8 @@ class Solver:
 
         gram_elems = (sum(int(r.shape[1]) ** 2 for r in carry.R)
                       if with_grams else 0)
-        admm_blob_len = 7 + admm_chunk * (admm_mod.STAT_COLS + gram_elems)
+        admm_blob_len = admm_mod.HEADER_LEN + admm_chunk * (
+            admm_mod.STAT_COLS + gram_elems)
 
         def do_admm(_):
             ac = admm._metrics(mk_carry())
@@ -439,8 +440,22 @@ class Solver:
         admm_carry = None
         admm_rho = rho0 * params.heuristic_factor
         alm_gap_h = alm_pinf_h = admm_gap_h = admm_pinf_h = None
+        # extra host mirrors of the final ADMM carry metrics: when all are
+        # known the end-of-solve scalar fetch is skipped entirely
+        admm_pinfinf_h = admm_pobj_h = admm_dobj_h = None
         admm_bad_iter = False
         dinf_parsed = None   # (dinf_l1, grams) from a fused final blob
+
+        def mk_final_fn(ranks):
+            """Chainable speculative certification pass for classic ADMM
+            chunk loops: same _fused_final, flags pinned to the
+            'ADMM ran' case."""
+            ff = self._fused_final_j()
+            flags_run = jnp.stack([
+                jnp.asarray(1.0, dtype), jnp.asarray(0.0, dtype),
+                jnp.asarray(0.0, dtype), jnp.asarray(0.0, dtype),
+                jnp.asarray(1.0, dtype)])
+            return lambda c, ct: ff(c, ct, flags_run, key7)
 
         while True:
             # three chained ASYNC dispatches (ALM segment; speculative
@@ -519,6 +534,8 @@ class Solver:
                     with_grams=with_grams)
                 cg_total = ainfo.cg_iters_total
                 admm_gap_h, admm_pinf_h = ainfo.last_gap, ainfo.last_pinf
+                admm_pinfinf_h = ainfo.last_pinf_inf
+                admm_pobj_h, admm_dobj_h = ainfo.last_pobj, ainfo.last_dobj
                 admm_bad_iter = admm_code == admm_mod.CODE_BAD_ITER
                 num_err = num_err or admm_code == admm_mod.CODE_NUM_ERR
                 do_final_f = admm_code != admm_mod.CODE_RUN
@@ -534,16 +551,26 @@ class Solver:
                             record_cb=admm_record, rho_max=rho_max_cur,
                             entry_gap=admm_gap_h, entry_pinf=admm_pinf_h,
                             f64_check=f64_checker, ctrl0=actrl,
-                            with_grams=with_grams)
+                            with_grams=with_grams,
+                            final_fn=mk_final_fn(rank_state.ranks))
                         cg_total = ainfo2.cg_iters_total
                         admm_bad_iter = ainfo2.bad_iter
                         time_limit = time_limit or ainfo2.time_limit
                         num_err = num_err or ainfo2.num_err
                         admm_gap_h = ainfo2.last_gap
                         admm_pinf_h = ainfo2.last_pinf
+                        admm_pinfinf_h = ainfo2.last_pinf_inf
+                        admm_pobj_h = ainfo2.last_pobj
+                        admm_dobj_h = ainfo2.last_dobj
+                        if ainfo2.final_blob is not None:
+                            dinf_parsed = self._parse_final(
+                                ainfo2.final_blob, rank_state.ranks,
+                                obj_scale_h)
             else:
                 # ADMM skipped: ALM already met phase2 tolerances
                 admm_gap_h, admm_pinf_h = info.gap, info.pinf_l1
+                admm_pinfinf_h = info.pinf_inf
+                admm_pobj_h, admm_dobj_h = info.pobj, info.dobj
             if do_final_f:
                 dinf_parsed = self._parse_final(
                     final_blob_h, rank_state.ranks, obj_scale_h)
@@ -589,6 +616,10 @@ class Solver:
             nonlocal rho_max_cur, admm_rho, admm_bad_iter, time_limit, num_err
             nonlocal obj_scale_h, alm_gap_h, alm_pinf_h
             nonlocal admm_gap_h, admm_pinf_h
+            nonlocal admm_pinfinf_h, admm_pobj_h, admm_dobj_h, dinf_parsed
+            # factors/duals are about to change: any previously parsed
+            # certification blob is stale
+            dinf_parsed = None
             p = params
             scale = 5.0
             c_alm = c_alm._replace(
@@ -636,13 +667,19 @@ class Solver:
                     record_cb=admm_record, rho_max=rho_max_cur,
                     entry_gap=alm_gap_h, entry_pinf=alm_pinf_h,
                     f64_check=f64_checker,
-                    with_grams=not params.disable_oracle)
+                    with_grams=not params.disable_oracle,
+                    final_fn=mk_final_fn(rank_state.ranks))
                 cg_total += ainfo.cg_iters_total
                 admm_bad_iter = ainfo.bad_iter
                 time_limit = time_limit or ainfo.time_limit
                 num_err = num_err or ainfo.num_err
                 admm_it = admm_it2
                 admm_gap_h, admm_pinf_h = ainfo.last_gap, ainfo.last_pinf
+                admm_pinfinf_h = ainfo.last_pinf_inf
+                admm_pobj_h, admm_dobj_h = ainfo.last_pobj, ainfo.last_dobj
+                if ainfo.final_blob is not None:
+                    dinf_parsed = self._parse_final(
+                        ainfo.final_blob, rank_state.ranks, obj_scale_h)
             admm_rho = rho2
             return carry2, c_admm
 
@@ -716,6 +753,7 @@ class Solver:
                 admm_carry = admm._metrics_j(admm_carry)
                 # metrics changed on device: invalidate the host mirrors
                 admm_gap_h = admm_pinf_h = None
+                admm_pinfinf_h = admm_pobj_h = admm_dobj_h = None
                 scale_now = obj_scale_h
                 dinf_l1, final_grams = self.dual_infeasibility(
                     admm_carry.dual, scale_now, admm_carry.U, admm_carry.V)
@@ -735,9 +773,16 @@ class Solver:
         # a host-side f64 re-verification
         want_factors = params.return_factors or (
             params.host_f64_verify and dtype != jnp.float64)
-        (gap, pinf_l1, pinf_inf, pobj, dobj) = _fetch(
-            admm_carry.gap, admm_carry.pinf_l1, admm_carry.pinf_inf,
-            admm_carry.pobj, admm_carry.dobj)
+        if None in (admm_gap_h, admm_pinf_h, admm_pinfinf_h,
+                    admm_pobj_h, admm_dobj_h):
+            (gap, pinf_l1, pinf_inf, pobj, dobj) = _fetch(
+                admm_carry.gap, admm_carry.pinf_l1, admm_carry.pinf_inf,
+                admm_carry.pobj, admm_carry.dobj)
+        else:
+            # every scalar is already mirrored on the host from the last
+            # ADMM blob header (or the ALM stats row): no readback needed
+            gap, pinf_l1, pinf_inf = admm_gap_h, admm_pinf_h, admm_pinfinf_h
+            pobj, dobj = admm_pobj_h, admm_dobj_h
         U_h = V_h = ulp_h = vlp_h = dual_h = None
         if want_factors:
             U_h, V_h, ulp_h, vlp_h, dual_h = jax.device_get(
