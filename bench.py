@@ -2,32 +2,31 @@
 
 Headline: geometric-mean wall-clock speedup vs the LoRADS v2.0.1 CPU binary
 across bundled instances with published baselines (``lorads/README.md``
-Gset table :133-162 and large-scale MaxCut table :171-192; replicated in
-BASELINE.md):
+Gset table :133-162, large-scale MaxCut table :171-192, and the Mittelmann
+table :233-263; replicated in BASELINE.md).
 
-    G13              n=800     LoRADS 0.1 s   (Gset presets 1e-2 / 10)
-    p2p-Gnutella04   n=10879   LoRADS 0.8 s   (large presets 1e+1 / 100)
-    delaunay_n14     n=16384   LoRADS 2.5 s
-    vsp_befref...    n=14109   LoRADS 5.0 s
-    amazon0302       n=262111  LoRADS 47.7 s
-
-Per instance the solver runs twice on the same ``Solver``: the first solve
+Per instance the solver runs twice in its own subprocess: the first solve
 pays XLA compilation (cached persistently across processes), the second is
 the timed production path.  Timing is end-to-end time-to-KKT at the
-reference's phase2Tol=1e-5, statuses must certify optimality or the
+reference's phase2Tol=1e-5; statuses must certify optimality or the
 instance counts as failed (speedup 0 — excluded from the geomean but
 reported).
 
-Each instance runs in its OWN subprocess (``--one``) and is retried up to
-twice: the remote-TPU (axon tunnel) worker occasionally crashes/restarts
-mid-run, which poisons the whole process's backend — isolation turns an
-infra flake into a retry instead of a zeroed suite.  A wall-clock budget
-(BENCH_TIME_BUDGET, default 2700 s) guards against cold-compile storms.
+Robustness against the driver's external time budget (round 2 regression:
+rc 124 with NO output lost the whole suite):
+
+* a full summary JSON line is re-printed to stdout after EVERY instance —
+  the LAST stdout line is always a valid, most-complete snapshot;
+* SIGTERM/SIGINT print a final snapshot and exit 0, so an external
+  ``timeout`` yields a parsable partial result instead of nothing;
+* instances run cheapest-first so a truncated run still covers most rows;
+* per-instance subprocess timeouts are derated from the remaining budget.
 """
 
 import json
 import math
 import os
+import signal
 import subprocess
 import sys
 import time
@@ -36,6 +35,7 @@ DATA = "/root/reference/lorads/data"
 
 SUITE = [
     # (name, path, lorads_cpu_sec, params overrides)
+    # MaxCut presets per lorads/README.md:166,197 (Gset 1e-2/10; large 1e+1/100)
     ("G13", f"{DATA}/Max_cut_SDP/G13.dat-s", 0.1,
      dict(phase1_tol=1e-2, heuristic_factor=10.0)),
     ("p2p-Gnutella04", f"{DATA}/Max_cut_matrix_files/p2p-Gnutella04.mat", 0.8,
@@ -45,12 +45,17 @@ SUITE = [
     ("vsp_befref_fxm_2_4_air02",
      f"{DATA}/Max_cut_matrix_files/vsp_befref_fxm_2_4_air02.mat", 5.0,
      dict(phase1_tol=1e+1, heuristic_factor=100.0)),
+    # Mittelmann/theta family: reference runs with reoptLevel 2 + defaults
+    # (lorads/scripts/run.ipynb cell "Mittelmann"); baselines README.md:260-261
+    ("theta12", f"{DATA}/General_SDP/theta12.dat-s", 125.0, dict()),
+    ("theta102", f"{DATA}/General_SDP/theta102.dat-s", 197.0, dict()),
     ("amazon0302", f"{DATA}/Max_cut_matrix_files/amazon0302.mat", 47.7,
      dict(phase1_tol=1e+1, heuristic_factor=100.0)),
 ]
 
 OK_STATUSES = ("primal_dual_optimal", "primal_optimal")
-RETRIES = 2
+RETRIES = 1
+PROBE_NAME = "amazon0302"       # realistic (n, r) for the A(RR^T) probe
 
 
 def run_one(name: str, probe: bool) -> dict:
@@ -88,24 +93,80 @@ def run_one(name: str, probe: bool) -> dict:
     }
 
     if probe:
-        # speed-of-light probe: A(RR^T) on this instance's cone
-        import jax.numpy as jnp  # noqa: F401
+        # speed-of-light probe: A(RR^T) at realistic (n, r), iterated
+        # IN-GRAPH via lax.scan so dispatch latency through the remote-TPU
+        # tunnel does not dominate (round-1's 0.085 GFLOP/s was pure
+        # dispatch noise at n=800).
+        import jax.numpy as jnp
         from ltr_lowrank_sdp_tpu.ops.coneops import build_cone_ops
 
         rdt = sv.dtype
         cones, _ = build_cone_ops(prob, rdt)
         ops = cones[0]
-        r = max(res.final_ranks[0], 8)
+        r = max(res.final_ranks[0], 32)
+        iters = 50
         U = jax.random.normal(jax.random.PRNGKey(0), (ops.n, r), rdt)
-        f = jax.jit(lambda u: ops.constr_vals(u, u))
-        f(U).block_until_ready()
+
+        def body(u, _):
+            v = ops.constr_vals(u, u)
+            # scalar feedback keeps the scan sequential (no CSE/elision)
+            return u * (1.0 + jnp.asarray(1e-30, rdt) * v[0]), v[0]
+
+        f = jax.jit(lambda u: jax.lax.scan(body, u, None, length=iters))
+        f(U)[1].block_until_ready()
         t0 = time.time()
-        for _ in range(200):
-            out = f(U)
-        out.block_until_ready()
+        out = f(U)
+        out[1].block_until_ready()
+        per_iter = (time.time() - t0) / iters
         row["A_RRt_gflops"] = round(
-            ops.constr_flops(r) / ((time.time() - t0) / 200) / 1e9, 3)
+            ops.constr_flops(r) / per_iter / 1e9, 3)
+        row["A_RRt_usec"] = round(per_iter * 1e6, 1)
+        row["A_RRt_shape"] = [ops.n, r]
     return row
+
+
+class _Bench:
+    """Accumulates rows and re-prints the summary snapshot after each."""
+
+    def __init__(self):
+        self.results = []
+        self.speedups = []
+        self.kernel = {}
+        self.device = None
+        self.child = None
+
+    def snapshot(self) -> str:
+        geomean = (math.exp(sum(math.log(s) for s in self.speedups)
+                            / len(self.speedups))
+                   if self.speedups else 0.0)
+        out = {
+            "metric": "suite_geomean_speedup_vs_lorads_cpu",
+            "value": round(geomean, 4),
+            "unit": "x",
+            "vs_baseline": round(geomean, 4),
+            "n_solved": len(self.speedups),
+            "n_total": len(SUITE),
+            "instances": self.results,
+            "dtype": os.environ.get("BENCH_DTYPE", "auto"),
+            "device": self.device,
+        }
+        out.update(self.kernel)
+        return json.dumps(out)
+
+    def emit(self):
+        print(self.snapshot(), flush=True)
+
+    def add(self, row):
+        if row:
+            self.results.append(row)
+            if row.get("speedup"):
+                self.speedups.append(row["speedup"])
+            for k in ("A_RRt_gflops", "A_RRt_usec", "A_RRt_shape"):
+                if row.get(k) is not None:
+                    self.kernel[k] = row[k]
+            if row.get("device"):
+                self.device = row["device"]
+        self.emit()
 
 
 def main():
@@ -115,65 +176,69 @@ def main():
         print("BENCH_ROW " + json.dumps(run_one(name, probe)))
         return 0
 
-    budget = float(os.environ.get("BENCH_TIME_BUDGET", "2700"))
+    budget = float(os.environ.get("BENCH_TIME_BUDGET", "2400"))
     t_start = time.time()
+    bench = _Bench()
 
-    results = []
-    speedups = []
-    kernel_gflops = None
-    device = None
-    for i, (name, path, base_sec, _) in enumerate(SUITE):
+    def on_term(signum, frame):
+        # External timeout: kill the in-flight child by exact PID, print
+        # the most-complete snapshot, and exit cleanly (rc 0).
+        if bench.child is not None and bench.child.poll() is None:
+            try:
+                bench.child.kill()
+            except OSError:
+                pass
+        bench.emit()
+        sys.stdout.flush()
+        os._exit(0)
+
+    signal.signal(signal.SIGTERM, on_term)
+    signal.signal(signal.SIGINT, on_term)
+
+    for name, path, base_sec, _ in SUITE:
         if not os.path.exists(path):
-            results.append({"name": name, "skipped": "missing data"})
+            bench.add({"name": name, "skipped": "missing data"})
             continue
-        if time.time() - t_start > budget:
-            results.append({"name": name, "skipped": "time budget"})
+        remaining = budget - (time.time() - t_start)
+        if remaining < 60:
+            bench.add({"name": name, "skipped": "time budget"})
             continue
         row = None
         for attempt in range(RETRIES + 1):
+            remaining = budget - (time.time() - t_start)
+            if remaining < 60:
+                row = {"name": name, "skipped": "time budget"}
+                break
             cmd = [sys.executable, os.path.abspath(__file__), "--one", name]
-            if i == 0:
+            if name == PROBE_NAME:
                 cmd.append("--probe")
             try:
-                proc = subprocess.run(
-                    cmd, capture_output=True, text=True,
-                    timeout=max(120.0, budget - (time.time() - t_start)))
+                bench.child = subprocess.Popen(
+                    cmd, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+                    text=True)
+                out, err = bench.child.communicate(
+                    timeout=max(120.0, remaining - 30.0))
             except subprocess.TimeoutExpired:
+                bench.child.kill()
+                bench.child.communicate()
                 row = {"name": name, "skipped": "instance timeout"}
                 break
-            for line in proc.stdout.splitlines():
+            finally:
+                bench.child = None
+            for line in out.splitlines():
                 if line.startswith("BENCH_ROW "):
                     row = json.loads(line[len("BENCH_ROW "):])
                     break
             if row is not None:
                 break
-            err_tail = (proc.stderr or "").strip().splitlines()[-2:]
-            row_fail = {"name": name, "crashed": True, "attempt": attempt + 1,
-                        "stderr_tail": err_tail}
+            err_tail = (err or "").strip().splitlines()[-2:]
+            print(f"[bench] {name} attempt {attempt + 1} crashed: "
+                  f"{err_tail}", file=sys.stderr, flush=True)
             if attempt == RETRIES:
-                row = row_fail
-        results.append(row)
-        if row and row.get("speedup"):
-            speedups.append(row["speedup"])
-        if row and row.get("A_RRt_gflops"):
-            kernel_gflops = row["A_RRt_gflops"]
-        if row and row.get("device"):
-            device = row["device"]
+                row = {"name": name, "crashed": True,
+                       "attempt": attempt + 1, "stderr_tail": err_tail}
+        bench.add(row)
 
-    geomean = (math.exp(sum(math.log(s) for s in speedups) / len(speedups))
-               if speedups else 0.0)
-    print(json.dumps({
-        "metric": "maxcut_suite_geomean_speedup_vs_lorads_cpu",
-        "value": round(geomean, 4),
-        "unit": "x",
-        "vs_baseline": round(geomean, 4),
-        "n_solved": len(speedups),
-        "n_total": len(SUITE),
-        "instances": results,
-        "A_RRt_gflops": kernel_gflops,
-        "dtype": os.environ.get("BENCH_DTYPE", "auto"),
-        "device": device,
-    }))
     return 0
 
 

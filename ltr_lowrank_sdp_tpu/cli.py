@@ -117,8 +117,12 @@ def main(argv=None):
 
     from .problem import load_problem
     from .solver.driver import solve
+    from .solver.interrupt import install_sigint_handler
     from .solver.logging import TrajectoryLogger
 
+    # graceful Ctrl-C: stop after the current device segment and report the
+    # best iterate (reference SIGINT handling, lorads_utils.c:488-505)
+    install_sigint_handler()
     prob = load_problem(args.fname)
     print(f"nConstrs = {prob.m}, sdp nBlks = {prob.n_cones}, "
           f"lp Cols = {prob.n_lp_cols}")

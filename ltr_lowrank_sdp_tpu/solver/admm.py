@@ -39,6 +39,7 @@ import numpy as np
 from ..config import SolverParams
 from ..ops.cg import cg_solve
 from ..ops.compsum import cvdot
+from . import interrupt
 from .common import ProblemConsts, primal_infeas_l1
 
 CODE_RUN = 0
@@ -90,6 +91,7 @@ class ADMMInfo:
     cg_iters_total: int = 0
     num_err: bool = False
     time_limit: bool = False
+    interrupted: bool = False
     converged: bool = False
     bad_iter: bool = False
     # device metrics at the last chunk boundary (host mirrors; avoid
@@ -537,7 +539,7 @@ class ADMMPhase:
                 blob, info, record_cb, with_grams=with_grams)
             last_gap, last_pinf = info.last_gap, info.last_pinf
             if code in (CODE_NUM_ERR, CODE_BAD_ITER, CODE_CONVERGED,
-                        CODE_PINF_OK, CODE_DONE):
+                        CODE_PINF_OK, CODE_DONE, CODE_CEILING):
                 info.final_blob = fblob
             if code == CODE_NUM_ERR:
                 info.num_err = True
@@ -564,11 +566,18 @@ class ADMMPhase:
                 if gap64 <= p.phase2_tol and pinf64 <= p.phase2_tol:
                     info.converged = True
                     info.last_gap, info.last_pinf = gap64, pinf64
+                    # keep the whole host-mirror metric set in one precision
+                    # (the driver may skip its end-of-solve fetch on these)
+                    info.last_pinf_inf = pinfi64
+                    info.last_pobj, info.last_dobj = pobj64, dobj64
                     break
                 # back off while the true gap is still far from tolerance
                 f64_every = self.chunk if gap64 <= 10 * p.phase2_tol \
                     else 4 * self.chunk
             if time.time() - time_start >= p.time_sec_limit:
                 info.time_limit = True
+                break
+            if interrupt.interrupted():
+                info.interrupted = True
                 break
         return carry, float(last_rho), it_now, info

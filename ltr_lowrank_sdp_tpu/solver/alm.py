@@ -38,6 +38,7 @@ from ..config import SolverParams
 from ..ops.compsum import cvdot
 from ..ops.cubic import quartic_linesearch
 from ..ops import lbfgs as lbfgs_mod
+from . import interrupt
 from .common import (
     ProblemConsts,
     alm_gradient,
@@ -126,6 +127,7 @@ class ALMOuterInfo:
     rank_flag: int = 0
     num_err: bool = False
     time_limit: bool = False
+    interrupted: bool = False
     converged: bool = False
     pobj: Optional[float] = None
     dobj: Optional[float] = None
@@ -772,6 +774,9 @@ class ALMPhase:
                 return carry, info
             if time.time() - time_start >= p.time_sec_limit:
                 info.time_limit = True
+                return carry, info
+            if interrupt.interrupted():
+                info.interrupted = True
                 return carry, info
 
 

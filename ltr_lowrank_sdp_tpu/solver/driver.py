@@ -37,6 +37,7 @@ from ..ops.coneops import build_cone_ops_internal
 from ..ops.lanczos import lanczos_tridiag, tridiag_min_eig
 from ..problem import SDPProblem
 from . import alm as alm_mod
+from . import interrupt
 from . import admm as admm_mod
 from .alm import ALMPhase, ALMOuterInfo, make_alm_carry, make_outer_ctrl
 from .admm import ADMMCarry, ADMMInfo, ADMMPhase
@@ -247,7 +248,8 @@ class Solver:
                     | (actrl.code == admm_mod.CODE_PINF_OK)
                     | (actrl.code == admm_mod.CODE_DONE)
                     | (actrl.code == admm_mod.CODE_NUM_ERR)
-                    | (actrl.code == admm_mod.CODE_BAD_ITER))
+                    | (actrl.code == admm_mod.CODE_BAD_ITER)
+                    | (actrl.code == admm_mod.CODE_CEILING))
         do_final = skip_conv | (run_admm & terminal)
         flen = self._final_len([int(u.shape[1]) for u in ac.U])
         return jax.lax.cond(
@@ -388,6 +390,7 @@ class Solver:
         rho_max_cur = params.rho_max
         time_limit = False
         num_err = False
+        intr = False          # graceful SIGINT (interrupt.install_sigint_handler)
         # host mirrors of traced scalars the control flow needs — kept in
         # sync by construction so the driver never pays a device round-trip
         # for a control decision (obj_scale only ever changes here)
@@ -446,7 +449,7 @@ class Solver:
         admm_bad_iter = False
         dinf_parsed = None   # (dinf_l1, grams) from a fused final blob
 
-        def mk_final_fn(ranks):
+        def mk_final_fn():
             """Chainable speculative certification pass for classic ADMM
             chunk loops: same _fused_final, flags pinned to the
             'ADMM ran' case."""
@@ -509,8 +512,10 @@ class Solver:
                 continue
             if code == alm_mod.CODE_CONTINUE:
                 # max-outer / work-budget boundary: just re-dispatch
-                if time.time() - t0 > params.time_sec_limit:
-                    time_limit = True
+                if (time.time() - t0 > params.time_sec_limit
+                        or interrupt.interrupted()):
+                    time_limit = time.time() - t0 > params.time_sec_limit
+                    intr = interrupt.interrupted()
                     alm_inner_total += info.inner_iter
                     alm_outer = info.outer_iter
                     break
@@ -552,10 +557,11 @@ class Solver:
                             entry_gap=admm_gap_h, entry_pinf=admm_pinf_h,
                             f64_check=f64_checker, ctrl0=actrl,
                             with_grams=with_grams,
-                            final_fn=mk_final_fn(rank_state.ranks))
+                            final_fn=mk_final_fn())
                         cg_total = ainfo2.cg_iters_total
                         admm_bad_iter = ainfo2.bad_iter
                         time_limit = time_limit or ainfo2.time_limit
+                        intr = intr or ainfo2.interrupted
                         num_err = num_err or ainfo2.num_err
                         admm_gap_h = ainfo2.last_gap
                         admm_pinf_h = ainfo2.last_pinf
@@ -614,6 +620,7 @@ class Solver:
         def do_reopt(c_alm, c_admm, reopt_alm_iter, reopt_admm_iter, level):
             nonlocal alm_outer, alm_inner_total, admm_it, cg_total
             nonlocal rho_max_cur, admm_rho, admm_bad_iter, time_limit, num_err
+            nonlocal intr
             nonlocal obj_scale_h, alm_gap_h, alm_pinf_h
             nonlocal admm_gap_h, admm_pinf_h
             nonlocal admm_pinfinf_h, admm_pobj_h, admm_dobj_h, dinf_parsed
@@ -639,6 +646,7 @@ class Solver:
             alm_inner_total += info.inner_iter
             num_err = num_err or info.num_err
             time_limit = time_limit or info.time_limit
+            intr = intr or info.interrupted
             if info.rho is not None:
                 alm_rho2 = info.rho
             else:
@@ -662,16 +670,20 @@ class Solver:
             if (not admm_bad_iter) or level < 2:
                 ceiling = min(admm_it * 4, admm_it + p.max_admm_iter)
                 ceiling = max(ceiling, admm_it + reopt_admm_iter)
+                # level >= 2 always re-averages U/V and recomputes dual
+                # infeasibility after this call, so speculative in-chunk
+                # certification would be paid for and discarded
                 c_admm, rho2, admm_it2, ainfo = admm.run(
                     c_admm, rho2, admm_it, ceiling, t0, mode="reopt",
                     record_cb=admm_record, rho_max=rho_max_cur,
                     entry_gap=alm_gap_h, entry_pinf=alm_pinf_h,
                     f64_check=f64_checker,
                     with_grams=not params.disable_oracle,
-                    final_fn=mk_final_fn(rank_state.ranks))
+                    final_fn=mk_final_fn() if level < 2 else None)
                 cg_total += ainfo.cg_iters_total
                 admm_bad_iter = ainfo.bad_iter
                 time_limit = time_limit or ainfo.time_limit
+                intr = intr or ainfo.interrupted
                 num_err = num_err or ainfo.num_err
                 admm_it = admm_it2
                 admm_gap_h, admm_pinf_h = ainfo.last_gap, ainfo.last_pinf
@@ -687,7 +699,8 @@ class Solver:
         alm_reopt_min_iter = 3
         admm_reopt_min_iter = 1000 if p.high_acc_mode else 50
 
-        if p.reopt_level >= 1 and not time_limit and not num_err:
+        if p.reopt_level >= 1 and not time_limit and not num_err \
+                and not intr:
             cnt = 0
             while True:
                 if None in (alm_gap_h, alm_pinf_h, admm_gap_h, admm_pinf_h):
@@ -725,7 +738,8 @@ class Solver:
             1 + self.consts.c_nrminf)
         mark("dinf")
 
-        if p.reopt_level >= 2 and not time_limit and not num_err:
+        if p.reopt_level >= 2 and not time_limit and not num_err \
+                and not intr:
             dual_cnt = 0
             while True:
                 if None in (admm_gap_h, admm_pinf_h):

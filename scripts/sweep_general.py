@@ -33,6 +33,12 @@ def main() -> None:
     ap.add_argument("--time-limit", type=float, default=300.0)
     args = ap.parse_args()
 
+    known = {name for name, *_ in INSTANCES}
+    unknown = [n for n in args.names if n not in known]
+    if unknown:
+        sys.exit(f"unknown instance name(s): {unknown}; "
+                 f"choose from {sorted(known)}")
+
     from ltr_lowrank_sdp_tpu.config import SolverParams
     from ltr_lowrank_sdp_tpu.problem import load_problem
     from ltr_lowrank_sdp_tpu.solver.driver import Solver

@@ -32,6 +32,60 @@ def get_teacher_forcing_ratio(epoch: int, total_epochs: int,
     return start + (end - start) * frac
 
 
+def eval_report(test: dict) -> str:
+    """Text report over free-running test predictions.
+
+    Same sections as the reference report (``train.py:529-595``): headline
+    metrics, length distribution, per-position errors (first 5 positions),
+    and sample prediction/target pairs.
+    """
+    lines = ["[eval report]"]
+    lines.append(f"  total loss: {test['loss']:.4f}")
+    lines.append(f"  log mae: {test['log_mae']:.4f}")
+    lines.append(f"  mae: {test['mae']:.4f}")
+    lines.append(f"  length accuracy: {test['length_acc']:.2%}")
+    lines.append(f"  exact length matches: {test['exact_length_count']}")
+    lines.append("")
+
+    preds, targets = test["predictions"], test["targets"]
+    pred_lens = np.array(test["pred_lengths"])
+    tgt_lens = np.array(test["target_lengths"])
+    if preds and targets:
+        lines.append("[length distribution]")
+        len_err = pred_lens - tgt_lens
+        lines.append(
+            f"  target lengths: mean={tgt_lens.mean():.2f}, "
+            f"std={tgt_lens.std():.2f}, min={tgt_lens.min()}, "
+            f"max={tgt_lens.max()}")
+        lines.append(
+            f"  pred lengths: mean={pred_lens.mean():.2f}, "
+            f"std={pred_lens.std():.2f}, min={pred_lens.min()}, "
+            f"max={pred_lens.max()}")
+        lines.append(f"  length error: mean={len_err.mean():.2f}, "
+                     f"std={len_err.std():.2f}")
+        lines.append("")
+
+        lines.append("[per-position error]")
+        max_pos = min(5, max(len(t) for t in targets))
+        for pos in range(max_pos):
+            errs = np.array([p[pos] - t[pos] for p, t in zip(preds, targets)
+                             if pos < len(p) and pos < len(t)])
+            if errs.size:
+                lines.append(
+                    f"  position {pos + 1}: mean_err={errs.mean():.2f}, "
+                    f"std={errs.std():.2f}, "
+                    f"|mean_err|={np.abs(errs).mean():.2f}")
+        lines.append("")
+
+        lines.append("[sample predictions]")
+        for i in range(min(10, len(preds))):
+            ell = "..." if len(preds[i]) > 8 else ""
+            lines.append(f"  [{i + 1}] pred: {preds[i][:8]}{ell}")
+            ell = "..." if len(targets[i]) > 8 else ""
+            lines.append(f"       true: {targets[i][:8]}{ell}")
+    return "\n".join(lines) + "\n"
+
+
 def build_argparser():
     ap = argparse.ArgumentParser(description="train rank-schedule predictor")
     ap.add_argument("--root", default="dataset", help="dir with proc/ + sol_json/")
@@ -187,10 +241,14 @@ def main(argv=None):
         )
         return loss, comps, preds, ll, fr_sched, fr_len
 
-    def evaluate(params, indices):
+    def evaluate(params, indices, collect=False):
         tot_loss, n_batches = 0.0, 0
         log_mae_sum, mae_sum, n_valid = 0.0, 0.0, 0.0
         len_correct, len_total = 0, 0
+        # free-running per-instance predictions (reference train.py:529-595
+        # builds its eval report / eval_predictions.json from these)
+        preds_out, targets_out = [], []
+        pred_lens_out, target_lens_out, names_out = [], [], []
         for b in iterate_batches(ds, indices, args.batch_size):
             loss, comps, preds, ll, frs, frl = eval_step(
                 params, jnp.array(b.x), jnp.array(b.edge_index),
@@ -209,14 +267,36 @@ def main(argv=None):
             mae_sum += (np.abs(p - t) * m).sum()
             n_valid += m.sum()
             pred_len = np.argmax(np.asarray(ll), axis=-1) + 1
-            len_correct += int(np.sum(pred_len == np.asarray(b.length)))
+            true_len = np.asarray(b.length)
+            len_correct += int(np.sum(pred_len == true_len))
             len_total += b.num_graphs
-        return {
+            if collect:
+                fr_s = np.asarray(frs)
+                fr_l = np.asarray(frl)
+                for i in range(b.num_graphs):
+                    pl, tl = int(fr_l[i]), int(true_len[i])
+                    preds_out.append(
+                        [int(round(v)) for v in fr_s[i, :pl]])
+                    targets_out.append([int(round(v)) for v in t[i, :tl]])
+                    pred_lens_out.append(pl)
+                    target_lens_out.append(tl)
+                    names_out.append(getattr(b, "names", [None])[i]
+                                     if getattr(b, "names", None) else None)
+        out = {
             "loss": tot_loss / max(n_batches, 1),
             "log_mae": log_mae_sum / max(n_valid, 1),
             "mae": mae_sum / max(n_valid, 1),
             "length_acc": len_correct / max(len_total, 1),
         }
+        if collect:
+            out["predictions"] = preds_out
+            out["targets"] = targets_out
+            out["pred_lengths"] = pred_lens_out
+            out["target_lengths"] = target_lens_out
+            out["names"] = names_out
+            out["exact_length_count"] = int(sum(
+                pl == tl for pl, tl in zip(pred_lens_out, target_lens_out)))
+        return out
 
     best_val = float("inf")
     history = []
@@ -263,16 +343,32 @@ def main(argv=None):
                 lr_scale *= 0.5
                 plateau_bad = 0
 
-    test = evaluate(params, test_idx) if test_idx else {}
+    test = evaluate(params, test_idx, collect=True) if test_idx else {}
+    if test:
+        # per-position eval report + raw predictions
+        # (reference train.py:529-595 eval_report / eval_predictions.json)
+        with open(os.path.join(args.output_dir, "eval_report.txt"), "w") as f:
+            f.write(eval_report(test))
+        with open(os.path.join(args.output_dir,
+                               "eval_predictions.json"), "w") as f:
+            json.dump({
+                "predictions": test["predictions"],
+                "targets": test["targets"],
+                "pred_lengths": test["pred_lengths"],
+                "target_lengths": test["target_lengths"],
+                "names": test["names"],
+            }, f, indent=2)
+    test_scalars = {k: v for k, v in test.items()
+                    if not isinstance(v, list)}
     report = {
         "best_val_log_mae": best_val,
-        "test": test,
+        "test": test_scalars,
         "history": history,
         "params": vars(args),
     }
     with open(os.path.join(args.output_dir, "training_log.json"), "w") as f:
         json.dump(report, f, indent=2, default=str)
-    print(f"done. best val log-MAE {best_val:.4f}; test: {test}")
+    print(f"done. best val log-MAE {best_val:.4f}; test: {test_scalars}")
     return 0
 
 
