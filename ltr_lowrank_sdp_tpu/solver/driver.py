@@ -89,9 +89,16 @@ class SolveResult:
 class Solver:
     """Reusable solver: owns cone ops and compiled-phase caches."""
 
-    def __init__(self, prob: SDPProblem, params: Optional[SolverParams] = None):
+    def __init__(self, prob: SDPProblem, params: Optional[SolverParams] = None,
+                 mesh=None, mesh_axis: str = "constr"):
+        """``mesh``: optional ``jax.sharding.Mesh`` with axis ``mesh_axis``;
+        when given, each cone's hot operators (constraint values, adjoint
+        SpMM) run constraint-/row-sharded over that axis with one psum per
+        application (``parallel/meshops.py``) — the production phases are
+        otherwise unchanged (replicated boundary)."""
         self.prob = prob
         self.params = params or SolverParams()
+        self.mesh = mesh
         dt = self.params.dtype
         if dt == "auto":
             # float64 is emulated (slow) on TPU; float32 compute reaches the
@@ -106,6 +113,13 @@ class Solver:
         # problem boundary (_factors_out / _dual_out)
         self.cones, self.lp, self.constr_order = build_cone_ops_internal(
             prob, dtype)
+        if mesh is not None:
+            from ..parallel.meshops import MeshConeOps
+
+            self.cones = [
+                MeshConeOps(c, ops, mesh, axis=mesh_axis, dtype=dtype)
+                for c, ops in zip(prob.cones, self.cones)
+            ]
         self.consts = ProblemConsts.from_problem(prob)
         b_np = np.asarray(prob.b)
         if self.constr_order is not None:
