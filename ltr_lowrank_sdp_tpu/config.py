@@ -110,7 +110,6 @@ class SolverParams:
     constr_refresh_every: int = 25   # recompute A(RR^T) fresh every k inner its
     admm_jacobi: bool = False        # parallel (Jacobi) cone sweep instead of
                                      # Gauss-Seidel; better on multi-block TPU
-    max_inner_unroll: int = 1        # inner ALM steps fused per while-loop body
     seed: int = 925                  # factor init seed (reference uses srand(925))
 
     def rank_flag_threshold(self) -> float:

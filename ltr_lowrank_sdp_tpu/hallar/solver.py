@@ -16,7 +16,9 @@ p += beta (A(YY^T) - b), stop on ||A(X) - b|| < eps_p;
 ``hallar/py/hlr.py:12-228`` — escape direction from the minimum eigenvector)
 and the binary's documented parameters (``hallar/src/README.md:147-193``).
 The dual certificate theta~ = max(-lambda_min(C + A*(p)), 0) bounds the
-duality gap:  dval = b'p - tau * theta~ (``hallar/py/main.py:48-54``).
+duality gap (``hallar/py/main.py:48-54``); with this module's multiplier
+convention p <- p + beta (A(X) - b) the dual value is
+dval = -b'p - tau * theta~ (the prototype's q is this p negated).
 
 The inner FISTA is one fused ``lax.while_loop`` per dispatch.
 """
@@ -82,7 +84,14 @@ class SpectraplexProblem:
     def from_hslr(path: str) -> "SpectraplexProblem":
         from ..io.hslr import read_hslr
 
-        data = read_hslr(path)
+        return SpectraplexProblem.from_hslr_data(read_hslr(path))
+
+    @staticmethod
+    def from_hslr_data(data, tau: Optional[float] = None
+                       ) -> "SpectraplexProblem":
+        """Build from an :class:`~..io.hslr.HSLRData` (read_hslr /
+        read_hybrid_sdpa); ``tau`` overrides the file's trace bound (the
+        hybrid SDPA variant carries none)."""
         rows, cols, vals, cid = [], [], [], []
         for i, M in enumerate(data.A):
             D = M.dense()
@@ -93,8 +102,11 @@ class SpectraplexProblem:
             cid.append(np.full(r.size, i))
         Cd = data.C.dense()
         cr, cc = np.nonzero(np.triu(Cd))
+        tau_eff = data.tau if tau is None else tau
+        if not np.isfinite(tau_eff):
+            raise ValueError("trace bound required (file carries none)")
         return SpectraplexProblem(
-            n=data.n, m=data.m, b=data.b, tau=data.tau,
+            n=data.n, m=data.m, b=data.b, tau=tau_eff,
             c_rows=cr.astype(np.int32), c_cols=cc.astype(np.int32),
             c_vals=Cd[cr, cc],
             a_rows=np.concatenate(rows).astype(np.int32),
@@ -300,7 +312,11 @@ def hallar_solve(prob: SpectraplexProblem,
             smv_p, prob.n, jax.random.PRNGKey(10_000 + it),
             num_iters=params.lanczos_iters, dtype=dtype)
         theta = max(-lam_p, 0.0)
-        dval = float(np.dot(prob.b, np.asarray(p))) - prob.tau * theta
+        # Lagrangian L(X,p) = <C + A*(p), X> - b.p for the multiplier
+        # convention p <- p + beta (A(X) - b); minimizing over
+        # {X >= 0, tr X <= tau} gives the dual value
+        # -b.p - tau * max(-lambda_min(C + A*(p)), 0).
+        dval = -float(np.dot(prob.b, np.asarray(p))) - prob.tau * theta
         rel_gap = abs(pobj - dval) / (1.0 + abs(pobj) + abs(dval))
 
         if verbose:

@@ -126,3 +126,79 @@ def read_hslr(path: str) -> HSLRData:
     if len(mats) != m + 1:
         raise ValueError(f"HSLR: expected {m + 1} matrices, got {len(mats)}")
     return HSLRData(m=m, n=n, b=b, tau=tau, C=mats[0], A=mats[1:])
+
+
+def read_hybrid_sdpa(path: str) -> HSLRData:
+    """Reader for HALLaR's labeled hybrid SDPA variant
+    (``hallar/src/examples/toy_hybrid_single_block.dat-s``):
+
+        m = 4
+        nBlocks = 1
+        blockStruct = 3
+        lowrank_struct = -1 -1 -1 -1 1     (-1 sparse, k>=1 rank-k LR)
+        c = -1 -1 -1 -1                    (RHS vector)
+        <matid> <blk> <i> <j> <v>          sparse entries (1-based, matid 0=C)
+        <matid> P <blk> <row> <col> <v>    LR factor P entries
+        <matid> D <blk> <idx> <v>          LR diagonal weights
+                                           (matrix = P diag(D) P^T)
+
+    Single-block only.  The format carries no trace bound; ``tau`` is
+    returned as nan and must be supplied by the caller (CLI --trace_bound /
+    options.cfg, cf. examples/suggested_trace_bounds.txt).
+    """
+    hdr = {}
+    entries = []
+    with open(path) as fh:
+        for ln in fh:
+            ln = ln.strip()
+            if not ln:
+                continue
+            if "=" in ln:
+                k, v = ln.split("=", 1)
+                hdr[k.strip()] = v.strip()
+            else:
+                entries.append(ln.split())
+    m = int(hdr["m"])
+    if int(hdr.get("nBlocks", "1")) != 1:
+        raise ValueError("hybrid SDPA reader supports a single block")
+    n = int(hdr["blockStruct"].split()[0])
+    b = np.array([float(x) for x in hdr["c"].split()], np.float64)
+    if b.size != m:
+        raise ValueError(f"hybrid SDPA: expected {m} RHS values, got {b.size}")
+
+    sp = {i: [] for i in range(m + 1)}
+    lr_p = {}
+    lr_d = {}
+    for toks in entries:
+        mid = int(toks[0])
+        if toks[1] == "P":
+            _, row, col, v = toks[2], int(toks[3]), int(toks[4]), float(toks[5])
+            lr_p.setdefault(mid, []).append((row - 1, col - 1, v))
+        elif toks[1] == "D":
+            _, idx, v = toks[2], int(toks[3]), float(toks[4])
+            lr_d.setdefault(mid, []).append((idx - 1, v))
+        else:
+            i, j, v = int(toks[2]) - 1, int(toks[3]) - 1, float(toks[4])
+            if i > j:
+                i, j = j, i
+            sp[mid].append((i, j, v))
+
+    mats = []
+    for mid in range(m + 1):
+        rows = np.array([t[0] for t in sp[mid]], np.int32)
+        cols = np.array([t[1] for t in sp[mid]], np.int32)
+        vals = np.array([t[2] for t in sp[mid]], np.float64)
+        V = S = None
+        if mid in lr_p:
+            rank = max(c for _, c, _ in lr_p[mid]) + 1
+            P = np.zeros((n, rank))
+            for r, c, v in lr_p[mid]:
+                P[r, c] = v
+            d = np.zeros(rank)
+            for idx2, v in lr_d.get(mid, []):
+                d[idx2] = v
+            V = P.T                       # (r, n), matrix = V^T diag(d) V
+            S = np.diag(d)
+        mats.append(HSLRMatrix(n=n, sp_rows=rows, sp_cols=cols,
+                               sp_vals=vals, lr_V=V, lr_S=S))
+    return HSLRData(m=m, n=n, b=b, tau=float("nan"), C=mats[0], A=mats[1:])

@@ -172,6 +172,8 @@ class ADMMPhase:
 
     def _iteration(self, carry: ADMMCarry, rho, cg_tol):
         """One full ADMM iteration: cone sweep + LP sweep + metrics."""
+        if self.params.admm_jacobi and len(self.cones) > 1:
+            return self._iteration_jacobi(carry, rho, cg_tol)
         cg_total = jnp.asarray(0, jnp.int32)
         U = list(carry.U)
         V = list(carry.V)
@@ -202,6 +204,58 @@ class ADMMPhase:
             carry = carry._replace(constr_val=tuple(constr_val))
             cg_total = cg_total + it1 + it2
             CU.append(C_u)
+
+        if self.has_lp:
+            carry = self._lp_sweep(carry, rho)
+        carry = self._metrics(carry, CU=tuple(CU))
+        return carry, cg_total
+
+    def _iteration_jacobi(self, carry: ADMMCarry, rho, cg_tol):
+        """Jacobi (parallel) cone sweep — ``admm_jacobi=True``.
+
+        The reference updates cones sequentially with a running constraint
+        sum (Gauss-Seidel, ``lorads_alg_common.c:298-325``).  On a
+        multi-block TPU problem the per-cone CG solves are independent given
+        a *snapshot* of the constraint sum, so all U updates run
+        concurrently in one XLA program (and likewise all V updates).
+        Plain Jacobi diverges when blocks couple strongly through shared
+        constraints (each block's proximal step assumes the others fixed,
+        so the summed correction overshoots); the standard parallel-
+        splitting remedy is under-relaxation by the block count,
+        U <- U + (U* - U)/K — convergence verified empirically by
+        tests/test_e2e.py::test_admm_jacobi_multiblock.
+        """
+        cg_total = jnp.asarray(0, jnp.int32)
+        alpha = 1.0 / len(self.cones)
+
+        # ---- U half-sweep against the entry snapshot ----
+        new_U = []
+        for i, ops in enumerate(self.cones):
+            u_new, it1 = self._cone_update(i, carry.U[i], carry.V[i],
+                                           carry.CV[i], carry, rho, cg_tol)
+            new_U.append(carry.U[i] + alpha * (u_new - carry.U[i]))
+            cg_total = cg_total + it1
+        constr_val = [ops.constr_vals(u, v) for ops, u, v in
+                      zip(self.cones, new_U, carry.V)]
+        csum = sum(constr_val) + (carry.constr_lp if self.has_lp else 0.0)
+        carry = carry._replace(U=tuple(new_U),
+                               constr_val=tuple(constr_val),
+                               constr_sum=csum)
+
+        # ---- V half-sweep against the refreshed snapshot ----
+        CU = [ops.apply_c(u) for ops, u in zip(self.cones, carry.U)]
+        new_V = []
+        for i, ops in enumerate(self.cones):
+            v_new, it2 = self._cone_update(i, carry.V[i], carry.U[i],
+                                           CU[i], carry, rho, cg_tol)
+            new_V.append(carry.V[i] + alpha * (v_new - carry.V[i]))
+            cg_total = cg_total + it2
+        constr_val = [ops.constr_vals(u, v) for ops, u, v in
+                      zip(self.cones, carry.U, new_V)]
+        csum = sum(constr_val) + (carry.constr_lp if self.has_lp else 0.0)
+        carry = carry._replace(V=tuple(new_V),
+                               constr_val=tuple(constr_val),
+                               constr_sum=csum)
 
         if self.has_lp:
             carry = self._lp_sweep(carry, rho)

@@ -129,6 +129,7 @@ class ALMOuterInfo:
     time_limit: bool = False
     interrupted: bool = False
     converged: bool = False
+    escalate: bool = False          # rank-escalation request (CODE_ESCALATE)
     pobj: Optional[float] = None
     dobj: Optional[float] = None
     pinf_l1: Optional[float] = None
@@ -768,6 +769,7 @@ class ALMPhase:
                 info.num_err = True
                 return carry, info
             if code == CODE_ESCALATE:
+                info.escalate = True
                 return carry, info
             if code == CODE_MAXITER:
                 info.rank_flag = 0

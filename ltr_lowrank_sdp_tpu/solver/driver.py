@@ -634,7 +634,7 @@ class Solver:
         def do_reopt(c_alm, c_admm, reopt_alm_iter, reopt_admm_iter, level):
             nonlocal alm_outer, alm_inner_total, admm_it, cg_total
             nonlocal rho_max_cur, admm_rho, admm_bad_iter, time_limit, num_err
-            nonlocal intr
+            nonlocal intr, alm, admm
             nonlocal obj_scale_h, alm_gap_h, alm_pinf_h
             nonlocal admm_gap_h, admm_pinf_h
             nonlocal admm_pinfinf_h, admm_pobj_h, admm_dobj_h, dinf_parsed
@@ -649,22 +649,43 @@ class Solver:
             if admm_rho <= rho_max_cur:
                 c_alm = c_alm._replace(
                     rho=jnp.maximum(jnp.asarray(admm_rho, dtype), c_alm.rho))
-            max_alm = reopt_alm_iter - 1 + alm_outer
-            carry2, info = alm.run(
-                c_alm, alm_outer, t0, mode="reopt", early_stop=True,
-                rho_update_factor=float(np.sqrt(p.alm_rho_factor)),
-                max_alm_iter=max_alm, record_cb=alm_record,
-                is_rank_max=rank_state.is_rank_max,
-                rank_thresh=rank_state.stall_threshold(params))
-            alm_outer = info.outer_iter
-            alm_inner_total += info.inner_iter
-            num_err = num_err or info.num_err
-            time_limit = time_limit or info.time_limit
-            intr = intr or info.interrupted
-            if info.rho is not None:
-                alm_rho2 = info.rho
-            else:
-                alm_rho2 = _fetch(carry2.rho)[0]
+            # reopt ALM with in-loop rank escalation: the reference's reopt
+            # ALM calls AUG_RANK and restarts at ALG_START when the
+            # difficulty grades accumulate (``lorads_alm.c:1175-1185``) —
+            # critical on theta-family instances whose optimal rank exceeds
+            # the initial heuristic (the main phase can exit at a
+            # too-low rank and only the reopt rounds can grow it).
+            while True:
+                max_alm = reopt_alm_iter - 1 + alm_outer
+                carry2, info = alm.run(
+                    c_alm, alm_outer, t0, mode="reopt", early_stop=True,
+                    rho_update_factor=float(np.sqrt(p.alm_rho_factor)),
+                    max_alm_iter=max_alm, record_cb=alm_record,
+                    is_rank_max=rank_state.is_rank_max,
+                    rank_thresh=rank_state.stall_threshold(params))
+                alm_outer = info.outer_iter
+                alm_inner_total += info.inner_iter
+                num_err = num_err or info.num_err
+                time_limit = time_limit or info.time_limit
+                intr = intr or info.interrupted
+                if info.rho is not None:
+                    alm_rho2 = info.rho
+                else:
+                    alm_rho2 = _fetch(carry2.rho)[0]
+                if not info.escalate or num_err or time_limit or intr:
+                    break
+                if not rank_state.escalate(params.rank_update_factor):
+                    # at the rank cap: disable further requests, resume
+                    rank_state.fixed = True
+                    c_alm = carry2
+                    continue
+                logger.log(f"increase the rank -> {rank_state.ranks}\n")
+                R_new = pad_factor_tuple(carry2.R, rank_state.ranks)
+                alm, admm = self.phases(rank_state.ranks)
+                c_alm = make_alm_carry(
+                    R_new, carry2.rlp, prob.m, alm.n_elems, alm_rho2,
+                    params, dtype, dual=carry2.dual,
+                    obj_scale=obj_scale_h)
             alm_gap_h, alm_pinf_h = info.gap, info.pinf_l1
             scale2 = obj_scale_h
             rho_max_cur = max(

@@ -156,3 +156,19 @@ def test_g11_rank_schedule_injection(g11_path):
     assert res.final_ranks[0] in (4, 8, 14)
     assert res.pinf_l1 <= 1e-5
     assert res.gap <= 5e-5
+
+
+def test_admm_jacobi_multiblock():
+    """Damped Jacobi (parallel) cone sweep converges on a multi-block
+    problem and matches the Gauss-Seidel objective (admm_jacobi knob,
+    SURVEY.md 7.4)."""
+    from ltr_lowrank_sdp_tpu.testing import random_multiblock_problem
+
+    prob = random_multiblock_problem()
+    params = SolverParams(disable_oracle=True, phase2_tol=1e-6)
+    res_gs = solve(prob, params)
+    assert res_gs.errors_ok
+    res_j = solve(prob, params.replace(admm_jacobi=True))
+    assert res_j.pinf_l1 < 1e-5
+    assert res_j.gap < 1e-4
+    assert abs(res_j.pobj - res_gs.pobj) < 1e-3 * (1 + abs(res_gs.pobj))
