@@ -45,9 +45,10 @@ SUITE = [
     ("vsp_befref_fxm_2_4_air02",
      f"{DATA}/Max_cut_matrix_files/vsp_befref_fxm_2_4_air02.mat", 5.0,
      dict(phase1_tol=1e+1, heuristic_factor=100.0)),
-    # Mittelmann/theta family: reference runs with reoptLevel 2 + defaults
-    # (lorads/scripts/run.ipynb cell "Mittelmann"); baselines README.md:260-261
-    ("theta12", f"{DATA}/General_SDP/theta12.dat-s", 125.0, dict()),
+    # Mittelmann family: reference runs with reoptLevel 2 + defaults
+    # (lorads/scripts/run.ipynb cell "Mittelmann"); baselines README.md:233-263
+    ("checker_1.5", f"{DATA}/General_SDP/checker_1.5.dat-s", 4.8, dict()),
+    ("shmup4", f"{DATA}/General_SDP/shmup4.dat-s", 117.0, dict()),
     ("theta102", f"{DATA}/General_SDP/theta102.dat-s", 197.0, dict()),
     ("amazon0302", f"{DATA}/Max_cut_matrix_files/amazon0302.mat", 47.7,
      dict(phase1_tol=1e+1, heuristic_factor=100.0)),
@@ -71,6 +72,8 @@ def run_one(name: str, probe: bool) -> dict:
 
     entry = next(e for e in SUITE if e[0] == name)
     _, path, base_sec, overrides = entry
+    if not os.path.exists(path):
+        return {"name": name, "skipped": "missing data"}
     dtype = os.environ.get("BENCH_DTYPE", "auto")
 
     prob = load_problem(path)

@@ -69,13 +69,30 @@ def lanczos_tridiag(
 def tridiag_min_eig(alphas, betas) -> float:
     """Smallest eigenvalue of the tridiagonal (k x k — host numpy; portable
     across TPU dtypes and avoids device eigh in emulated f64)."""
+    return tridiag_min_eig_resid(alphas, betas)[0]
+
+
+def tridiag_min_eig_resid(alphas, betas):
+    """Smallest eigenvalue of the k x k tridiagonal AND its Lanczos
+    residual bound.
+
+    For the Ritz pair (theta, V u) of a k-step Lanczos recurrence the exact
+    residual is ``||A (V u) - theta (V u)|| = |beta_k * u[k-1]|`` — computable
+    from the tridiagonal alone (Paige).  ARPACK accepts at
+    ``resid <= tol * |theta|`` with tol=1e-2 in the reference
+    (``lorads_sdp_conic.c:1645``); the driver applies the same acceptance rule
+    and restarts with a larger k when it fails (clustered spectra on the
+    theta family can leave a fixed-k estimate loose).
+    """
     import numpy as np
 
     a = np.asarray(alphas, np.float64)
     bta = np.asarray(betas, np.float64)
     k = a.shape[0]
     T = np.diag(a) + np.diag(bta[: k - 1], 1) + np.diag(bta[: k - 1], -1)
-    return float(np.linalg.eigvalsh(T)[0])
+    evals, evecs = np.linalg.eigh(T)
+    resid = float(abs(bta[k - 1] * evecs[k - 1, 0]))
+    return float(evals[0]), resid
 
 
 def lanczos_min_eig(

@@ -34,7 +34,7 @@ import numpy as np
 
 from ..config import OracleRankMethod, SolverParams, SolverStatus
 from ..ops.coneops import build_cone_ops_internal
-from ..ops.lanczos import lanczos_tridiag, tridiag_min_eig
+from ..ops.lanczos import lanczos_tridiag, tridiag_min_eig_resid
 from ..problem import SDPProblem
 from . import alm as alm_mod
 from . import interrupt
@@ -161,10 +161,10 @@ class Solver:
     # solve is a few tens of milliseconds of device work.
     # ------------------------------------------------------------------ #
 
-    def _final_len(self, ranks) -> int:
+    def _final_len(self, ranks, k_scale: int = 1) -> int:
         total = 0
         for ops in self.cones:
-            total += 2 * min(self._lanczos_k(ops), ops.n)
+            total += 2 * min(self._lanczos_k(ops, k_scale), ops.n)
         total += 1
         total += sum(int(r) * int(r) for r in ranks)
         return total
@@ -290,10 +290,11 @@ class Solver:
 
     # ------------------------------------------------------------------ #
 
-    def _lanczos_k(self, ops) -> int:
-        return min(max(32, 2 * int(np.sqrt(ops.n)) + 20), 100)
+    def _lanczos_k(self, ops, k_scale: int = 1) -> int:
+        base = min(max(32, 2 * int(np.sqrt(ops.n)) + 20), 100)
+        return min(base * k_scale, 400, ops.n)
 
-    def _final_traced(self, U, V, neg_lam, obj_scale, key):
+    def _final_traced(self, U, V, neg_lam, obj_scale, key, k_scale: int = 1):
         """The whole end-of-solve device pass as one traced function:
         every cone's dual-slack Lanczos recurrence, the LP dual column sums,
         and the (U+V)/2 Gram matrices for final oracle rank — ONE packed
@@ -308,7 +309,7 @@ class Solver:
 
             alphas, betas = lanczos_tridiag(
                 mv, ops.n, jax.random.fold_in(key, i),
-                num_iters=self._lanczos_k(ops), dtype=dtype)
+                num_iters=self._lanczos_k(ops, k_scale), dtype=dtype)
             parts.extend([alphas, betas])
         lp_term = (
             jnp.sum(jnp.abs(jnp.minimum(
@@ -321,21 +322,38 @@ class Solver:
             parts.append(g.ravel())
         return jnp.concatenate(parts)
 
-    def _final_j(self):
+    def _final_j(self, k_scale: int = 1):
         if getattr(self, "_final_fn", None) is None:
-            self._final_fn = jax.jit(self._final_traced)
-        return self._final_fn
+            self._final_fn = {}
+        if k_scale not in self._final_fn:
+            self._final_fn[k_scale] = jax.jit(
+                partial(self._final_traced, k_scale=k_scale))
+        return self._final_fn[k_scale]
 
-    def _parse_final(self, blob: np.ndarray, ranks, obj_scale: float):
-        """Unpack a _final_traced blob -> (dinf_l1, grams)."""
+    def _parse_final(self, blob: np.ndarray, ranks, obj_scale: float,
+                     k_scale: int = 1):
+        """Unpack a _final_traced blob -> (dinf_l1, grams, tight).
+
+        ``tight`` is the ARPACK-style acceptance of every cone's Ritz pair
+        (residual ``|beta_k u_k[-1]| <= 1e-2 |lambda_min|``, or the residual
+        is too small to move dinf by a status-relevant amount); a loose
+        estimate is re-run by :meth:`dual_infeasibility` with a larger k.
+        """
         total = 0.0
         off = 0
+        tight = True
+        # below this, a wrong lambda_min cannot shift dinf_l1 by more than
+        # 0.1 * phase2Tol — irrelevant to the 5*tol status thresholds
+        floor = (0.1 * self.params.phase2_tol * obj_scale
+                 * (self.consts.c_nrm1 + 1.0))
         for ops in self.cones:
-            k = min(self._lanczos_k(ops), ops.n)
+            k = min(self._lanczos_k(ops, k_scale), ops.n)
             alphas = blob[off: off + k]
             betas = blob[off + k: off + 2 * k]
             off += 2 * k
-            lam_min = tridiag_min_eig(alphas, betas)
+            lam_min, resid = tridiag_min_eig_resid(alphas, betas)
+            if k < ops.n and resid > max(1e-2 * abs(lam_min), floor):
+                tight = False
             total += abs(min(lam_min, 0.0))
         total += float(blob[off])
         off += 1
@@ -347,7 +365,7 @@ class Solver:
             off += r * r
         total /= obj_scale
         total /= self.consts.c_nrm1 + 1.0
-        return total, grams
+        return total, grams, tight
 
     def dual_infeasibility(self, dual, obj_scale: float,
                            U=None, V=None):
@@ -356,15 +374,23 @@ class Solver:
 
         Returns (dinf_l1, grams): the per-cone (U+V)/2 Gram matrices ride the
         same dispatch for final oracle-rank logging (negligible extra work).
+        Restarts the recurrence with doubled k (up to 4x / 400) while any
+        cone's Ritz residual fails the 1e-2 acceptance test.
         """
         if U is None:
             U = tuple(jnp.zeros((ops.n, 1), self.dtype) for ops in self.cones)
         if V is None:
             V = U
-        blob = np.asarray(self._final_j()(
-            U, V, -dual, jnp.asarray(obj_scale, self.dtype),
-            jax.random.PRNGKey(7)))
-        return self._parse_final(blob, [u.shape[1] for u in U], obj_scale)
+        k_scale = 1
+        while True:
+            blob = np.asarray(self._final_j(k_scale)(
+                U, V, -dual, jnp.asarray(obj_scale, self.dtype),
+                jax.random.PRNGKey(7)))
+            dinf, grams, tight = self._parse_final(
+                blob, [u.shape[1] for u in U], obj_scale, k_scale)
+            if tight or k_scale >= 4:
+                return dinf, grams
+            k_scale *= 2
 
     # ------------------------------------------------------------------ #
 
@@ -764,9 +790,11 @@ class Solver:
         # dual infeasibility certification (already computed inside the
         # fused dispatch when the main pass ended there)
         scale_now = obj_scale_h
-        if dinf_parsed is not None:
-            dinf_l1, final_grams = dinf_parsed
+        if dinf_parsed is not None and dinf_parsed[2]:
+            dinf_l1, final_grams = dinf_parsed[:2]
         else:
+            # no speculative blob, or its Lanczos residual check failed:
+            # (re)certify with the restarting recurrence
             dinf_l1, final_grams = self.dual_infeasibility(
                 admm_carry.dual, scale_now, admm_carry.U, admm_carry.V)
         dinf_inf = dinf_l1 * (1 + self.consts.c_nrm1) / (

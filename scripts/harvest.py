@@ -18,8 +18,11 @@ import argparse
 import glob
 import os
 import re
+import sys
 import time
 import traceback
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def family_params(name: str, n: int, timeout: float):

@@ -172,3 +172,48 @@ def test_admm_jacobi_multiblock():
     assert res_j.pinf_l1 < 1e-5
     assert res_j.gap < 1e-4
     assert abs(res_j.pobj - res_gs.pobj) < 1e-3 * (1 + abs(res_gs.pobj))
+
+
+def test_g11_float32_e2e(g11_path):
+    """The headline TPU configuration (f32 factors + compensated f32
+    reductions) certifies PRIMAL_DUAL_OPTIMAL end-to-end on G11 — pins the
+    f32 machinery (compsum noise floor, cubic overflow guards, normalized
+    line search) at the system level, not just per-op (VERDICT r2 #7)."""
+    prob = load_problem(g11_path)
+    params = SolverParams(phase1_tol=1e-2, heuristic_factor=10.0,
+                          dtype="float32", disable_oracle=True,
+                          return_factors=False)
+    res = solve(prob, params)
+    assert res.status == SolverStatus.PRIMAL_DUAL_OPTIMAL
+    assert res.pinf_l1 <= 1e-5
+    assert res.gap <= 5e-5
+    assert abs(res.pobj - (-1258.3)) / 1258.3 < 1e-3
+
+
+def test_lanczos_residual_restart():
+    """tridiag_min_eig_resid: the Ritz residual |beta_k u_k[-1]| flags an
+    unconverged recurrence, and doubling k drives it below the ARPACK-style
+    1e-2 acceptance on a clustered spectrum."""
+    import jax
+    import jax.numpy as jnp
+
+    from ltr_lowrank_sdp_tpu.ops.lanczos import (
+        lanczos_tridiag, tridiag_min_eig_resid)
+
+    # clustered spectrum near the minimum: hard for few-step Lanczos
+    rng = np.random.default_rng(3)
+    n = 400
+    evals = np.concatenate([
+        -1.0 + 1e-4 * rng.random(20), rng.random(n - 20) * 10.0])
+    Q, _ = np.linalg.qr(rng.normal(size=(n, n)))
+    A = jnp.asarray(Q @ np.diag(evals) @ Q.T)
+    mv = lambda y: A @ y
+
+    lam5, r5 = tridiag_min_eig_resid(
+        *lanczos_tridiag(mv, n, jax.random.PRNGKey(0), num_iters=5))
+    lam80, r80 = tridiag_min_eig_resid(
+        *lanczos_tridiag(mv, n, jax.random.PRNGKey(0), num_iters=80))
+    assert r5 > 1e-2 * abs(lam5)          # loose run is flagged
+    assert r80 <= 1e-2 * abs(lam80)       # converged run is accepted
+    # accuracy is bounded by the cluster width (1e-4), not machine eps
+    assert abs(lam80 - evals.min()) < 1e-4
