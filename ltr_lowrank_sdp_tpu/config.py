@@ -107,6 +107,13 @@ class SolverParams:
                                      # metrics turn this off)
     cg_restart_freq: int = 20
     cg_max_iter: int = 800
+    f64_polish: bool = True          # when f32 ADMM plateaus just above
+                                     # tolerance (its fixed-point accuracy is
+                                     # bounded by f32 CG residuals ~1e-5
+                                     # relative), rerun a bounded float64
+                                     # ADMM from the current iterate; only
+                                     # triggers when the solve would
+                                     # otherwise fail certification
     constr_refresh_every: int = 25   # recompute A(RR^T) fresh every k inner its
     admm_jacobi: bool = False        # parallel (Jacobi) cone sweep instead of
                                      # Gauss-Seidel; better on multi-block TPU

@@ -91,14 +91,32 @@ class Solver:
 
     def __init__(self, prob: SDPProblem, params: Optional[SolverParams] = None,
                  mesh=None, mesh_axis: str = "constr"):
-        """``mesh``: optional ``jax.sharding.Mesh`` with axis ``mesh_axis``;
-        when given, each cone's hot operators (constraint values, adjoint
-        SpMM) run constraint-/row-sharded over that axis with one psum per
-        application (``parallel/meshops.py``) — the production phases are
-        otherwise unchanged (replicated boundary)."""
+        """``mesh``: optional ``jax.sharding.Mesh`` with axis ``mesh_axis``.
+
+        Two sharding modes (SURVEY.md §5.8: "batched multi-instance solves
+        shard the instance axis; single-huge-instance solves shard
+        constraint rows (m-axis) and factor rows (n-axis)"):
+
+        * ``mesh_axis="constr"`` — each cone's hot operators run
+          constraint-sharded via explicit ``shard_map`` + one psum
+          (``parallel/meshops.py``); factors stay replicated and the
+          phases are unchanged (replicated boundary).  Right for many
+          constraints over moderate n.
+        * ``mesh_axis="row"`` — GSPMD factor-row sharding: the (n, r)
+          factors are *placed* with ``NamedSharding(mesh, P(axis, None))``
+          and the unchanged jitted phases run SPMD — XLA propagates the
+          row sharding through the elementwise factor algebra (fully
+          local), turns the scalar contractions into psums, and inserts
+          gathers only where an operator genuinely needs remote rows
+          (sparse C SpMM).  For MaxCut-family diag cones the constraint
+          axis is the row axis, so A(RR^T)/A*(w) are local too.  Right
+          for huge-n instances (delaunay_n20/rgg at n=1,048,576,
+          ``lorads/README.md:191-192``).
+        """
         self.prob = prob
         self.params = params or SolverParams()
         self.mesh = mesh
+        self.mesh_axis = mesh_axis
         dt = self.params.dtype
         if dt == "auto":
             # float64 is emulated (slow) on TPU; float32 compute reaches the
@@ -113,7 +131,13 @@ class Solver:
         # problem boundary (_factors_out / _dual_out)
         self.cones, self.lp, self.constr_order = build_cone_ops_internal(
             prob, dtype)
-        if mesh is not None:
+        self._factor_sharding = None
+        if mesh is not None and mesh_axis == "row":
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            self._factor_sharding = NamedSharding(
+                mesh, PartitionSpec(mesh_axis, None))
+        elif mesh is not None:
             from ..parallel.meshops import MeshConeOps
 
             self.cones = [
@@ -126,6 +150,16 @@ class Solver:
             b_np = b_np[self.constr_order]
         self.b = jnp.asarray(b_np, dtype)
         self._phase_cache: Dict[Tuple[int, ...], Tuple[ALMPhase, ADMMPhase]] = {}
+
+    def _place_factors(self, R):
+        """Commit (n, r) factors to the row sharding (no-op otherwise).
+
+        This single placement is the whole GSPMD integration: every array
+        derived from the factors inside the jitted phases inherits the
+        sharding through XLA's propagation."""
+        if self._factor_sharding is None:
+            return R
+        return tuple(jax.device_put(r, self._factor_sharding) for r in R)
 
     # ---- boundary conversions (internal order <-> original order) ------ #
 
@@ -141,6 +175,29 @@ class Solver:
         out = np.empty_like(dual)
         out[self.constr_order] = dual
         return out
+
+    def _phases64(self, ranks) -> ADMMPhase:
+        """float64 ADMM phase over the same internal problem layout —
+        the f64-polish engine (see ``SolverParams.f64_polish``)."""
+        if not hasattr(self, "_phase64_cache"):
+            self._phase64_cache = {}
+        key = tuple(ranks)
+        if key not in self._phase64_cache:
+            if getattr(self, "_cones64", None) is None:
+                cones64, lp64, order64 = build_cone_ops_internal(
+                    self.prob, jnp.float64)
+                # the internal relabeling derives from the problem
+                # structure only, so the f64 build must agree with f32
+                assert (order64 is None) == (self.constr_order is None)
+                if order64 is not None:
+                    assert np.array_equal(order64, self.constr_order)
+                self._cones64, self._lp64 = cones64, lp64
+                self._b64 = jnp.asarray(np.asarray(self.b), jnp.float64)
+            shapes = [(n, r) for n, r in zip(self.prob.block_dims, ranks)]
+            self._phase64_cache[key] = ADMMPhase(
+                self._cones64, self._lp64, self._b64, self.consts,
+                self.params, shapes, self.prob.n_lp_cols)
+        return self._phase64_cache[key]
 
     def phases(self, ranks) -> Tuple[ALMPhase, ADMMPhase]:
         key = tuple(ranks)
@@ -416,6 +473,7 @@ class Solver:
 
         R, rlp = init_factors(rank_state.ranks, dims, prob.n_lp_cols,
                               jax.random.PRNGKey(params.seed), dtype)
+        R = self._place_factors(R)
         rho0 = (1.0 / np.sqrt(sum(dims))
                 if params.init_rho == 0 else params.init_rho)
 
@@ -536,7 +594,8 @@ class Solver:
                 changed = rank_state.escalate(params.rank_update_factor)
                 if changed:
                     logger.log(f"increase the rank -> {rank_state.ranks}\n")
-                    R_new = pad_factor_tuple(carry.R, rank_state.ranks)
+                    R_new = self._place_factors(
+                        pad_factor_tuple(carry.R, rank_state.ranks))
                     alm, admm = self.phases(rank_state.ranks)
                     carry = make_alm_carry(
                         R_new, carry.rlp, prob.m, alm.n_elems, rho_h,
@@ -646,6 +705,70 @@ class Solver:
             alm_gap_h, alm_pinf_h = info.gap, info.pinf_l1
         mark("fused_main")
 
+        # =============== f64 polish ===================================== #
+        # The f32 ADMM fixed point is accuracy-bounded by its f32 CG
+        # residuals (~1e-5 relative): on skewed instances (shmup4) pinf_l1
+        # plateaus a hair above phase2Tol while rho escalates into dual
+        # oscillation.  When the iterate is NEAR tolerance but not certifed,
+        # rerun a bounded float64 ADMM from the same iterate — emulated f64
+        # on TPU is ~10x per flop, irrelevant for the small-n instances
+        # where this fires, and it only runs when the solve would
+        # otherwise fail.  No reference equivalent (the reference is
+        # all-double, lorads_alg_common.c).
+        def try_polish():
+            nonlocal admm_carry, admm_rho, admm_it, cg_total, time_limit
+            nonlocal intr, num_err, admm_gap_h, admm_pinf_h, admm_pinfinf_h
+            nonlocal admm_pobj_h, admm_dobj_h, dinf_parsed
+            p = params
+            if not p.f64_polish or dtype == jnp.float64:
+                return False
+            if time_limit or num_err or intr:
+                return False
+            if None in (admm_gap_h, admm_pinf_h):
+                d_gap, d_pinf = _fetch(admm_carry.gap, admm_carry.pinf_l1)
+            else:
+                d_gap, d_pinf = admm_gap_h, admm_pinf_h
+            tol = p.phase2_tol
+            if d_gap <= tol and d_pinf <= tol:
+                return False            # already certified
+            if d_pinf > 1e2 * tol or d_gap > 1e4 * tol:
+                return False            # too far: not a precision plateau
+            admm64 = self._phases64([u.shape[1] for u in admm_carry.U])
+            c64 = admm64.init_carry(
+                tuple(jnp.asarray(u, jnp.float64) for u in admm_carry.U),
+                tuple(jnp.asarray(v, jnp.float64) for v in admm_carry.V),
+                None if admm_carry.ulp is None
+                else jnp.asarray(admm_carry.ulp, jnp.float64),
+                None if admm_carry.vlp is None
+                else jnp.asarray(admm_carry.vlp, jnp.float64),
+                jnp.asarray(admm_carry.dual, jnp.float64), obj_scale_h)
+            ceiling = admm_it + min(3000, p.max_admm_iter)
+            c64, rho2, it2, pinfo = admm64.run(
+                c64, min(admm_rho, rho_max_cur), admm_it, ceiling, t0,
+                mode="reopt", record_cb=admm_record, rho_max=rho_max_cur,
+                with_grams=with_grams)
+            admm_it = it2
+            cg_total += pinfo.cg_iters_total
+            time_limit = time_limit or pinfo.time_limit
+            intr = intr or pinfo.interrupted
+            num_err = num_err or pinfo.num_err
+            admm_rho = rho2
+            admm_carry = admm_carry._replace(
+                U=tuple(jnp.asarray(u, dtype) for u in c64.U),
+                V=tuple(jnp.asarray(v, dtype) for v in c64.V),
+                ulp=None if c64.ulp is None else jnp.asarray(c64.ulp, dtype),
+                vlp=None if c64.vlp is None else jnp.asarray(c64.vlp, dtype),
+                dual=jnp.asarray(c64.dual, dtype))
+            # trust the f64 carry metrics as the host mirrors
+            (admm_pobj_h, admm_dobj_h, admm_pinf_h, admm_pinfinf_h,
+             admm_gap_h) = _fetch(c64.pobj, c64.dobj, c64.pinf_l1,
+                                  c64.pinf_inf, c64.gap)
+            dinf_parsed = None
+            return True
+
+        try_polish()
+        mark("f64_polish")
+
         # =============== reopt rounds =================================== #
         def sync_alm_from_admm(c_alm, c_admm):
             Ravg = tuple(0.5 * (u + v) for u, v in zip(c_admm.U, c_admm.V))
@@ -706,7 +829,8 @@ class Solver:
                     c_alm = carry2
                     continue
                 logger.log(f"increase the rank -> {rank_state.ranks}\n")
-                R_new = pad_factor_tuple(carry2.R, rank_state.ranks)
+                R_new = self._place_factors(
+                    pad_factor_tuple(carry2.R, rank_state.ranks))
                 alm, admm = self.phases(rank_state.ranks)
                 c_alm = make_alm_carry(
                     R_new, carry2.rlp, prob.m, alm.n_elems, alm_rho2,
@@ -842,6 +966,14 @@ class Solver:
                     break
 
         mark("reopt2")
+
+        if try_polish():
+            # the polish moved the iterate: re-certify dual feasibility
+            dinf_l1, final_grams = self.dual_infeasibility(
+                admm_carry.dual, obj_scale_h, admm_carry.U, admm_carry.V)
+            dinf_inf = dinf_l1 * (1 + self.consts.c_nrm1) / (
+                1 + self.consts.c_nrminf)
+        mark("polish2")
 
         # =============== status + outputs =============================== #
         # ONE batched device->host pull of the scalar metrics (device values

@@ -110,3 +110,30 @@ def test_sharded_solver_two_cones(mesh8):
     np.testing.assert_allclose(res1.pobj, res0.pobj, rtol=1e-8, atol=1e-8)
     np.testing.assert_allclose(res1.gap, res0.gap, atol=1e-9)
     np.testing.assert_allclose(res1.pinf_l1, res0.pinf_l1, atol=1e-9)
+
+
+def test_row_sharded_solver_matches_unsharded():
+    """GSPMD factor-row sharding (mesh_axis="row"): the (n, r) factors are
+    placed row-sharded and the unchanged phases run SPMD — full solve must
+    match the single-device solve (VERDICT round-2 item 5: n-axis sharding
+    for huge MaxCut; here validated on a small instance over the virtual
+    8-device CPU mesh)."""
+    import jax
+    from jax.sharding import Mesh
+
+    from ltr_lowrank_sdp_tpu.config import SolverParams
+    from ltr_lowrank_sdp_tpu.solver.driver import Solver
+    from ltr_lowrank_sdp_tpu.testing import random_maxcut_problem
+
+    mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(8), ("row",))
+    prob = random_maxcut_problem(64, avg_degree=5, seed=3)
+    params = SolverParams(dtype="float64", disable_oracle=True)
+
+    res0 = Solver(prob, params).solve()
+    assert res0.errors_ok
+    res1 = Solver(prob, params, mesh=mesh, mesh_axis="row").solve()
+
+    assert res1.status == res0.status
+    np.testing.assert_allclose(res1.pobj, res0.pobj, rtol=1e-9, atol=1e-9)
+    np.testing.assert_allclose(res1.pinf_l1, res0.pinf_l1, atol=1e-10)
+    np.testing.assert_allclose(res1.gap, res0.gap, atol=1e-10)
