@@ -34,6 +34,10 @@ _CFG_KEYS = {
     "beta_max": ("beta_max", float),
     "trace_bound": ("_trace_bound", float),   # handled by the caller
     "err_tol_eig": ("escape_tol", float),
+    "inner_solver": ("inner_solver", str),    # "fista" | "aipp"
+    "aipp_lambda0": ("aipp_lambda0", float),
+    "aipp_max_prox": ("aipp_max_prox", int),
+    "aipp_rho": ("aipp_rho", float),
 }
 
 
@@ -192,6 +196,10 @@ def main(argv=None) -> int:
     ap.add_argument("-o", "--output", default=None,
                     help="JSON result output path")
     ap.add_argument("--trace_bound", type=float, default=None)
+    ap.add_argument("--inner_solver", choices=("fista", "aipp"),
+                    default=None,
+                    help="AL subproblem solver: ADAP-FISTA (default) or "
+                         "ADAP-AIPP (prox-point wrapper)")
     ap.add_argument("--run_tests", action="store_true")
     args = ap.parse_args(argv)
 
@@ -201,7 +209,10 @@ def main(argv=None) -> int:
         ap.error("an input file (-i) is required unless --run_tests")
 
     cfg = read_options_cfg(args.config) if args.config else {}
-    params, cfg_tau = params_from_cfg(cfg)
+    overrides = {}
+    if args.inner_solver is not None:
+        overrides["inner_solver"] = args.inner_solver
+    params, cfg_tau = params_from_cfg(cfg, **overrides)
     tau = args.trace_bound if args.trace_bound is not None else cfg_tau
 
     from .solver import hallar_solve

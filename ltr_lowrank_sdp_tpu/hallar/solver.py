@@ -58,6 +58,15 @@ class HallarParams:
     time_limit: float = 3600.0
     lanczos_iters: int = 80
     dtype: str = "float64"
+    # inner AL subproblem solver: "fista" (ADAP-FISTA, default) or "aipp"
+    # (ADAP-AIPP: prox-point outer loop with lambda halving, each prox
+    # subproblem solved by the same fused projected FISTA; reference
+    # hallar/src/README.md:147-193 option table + hallar/py/hlr.py:147-191
+    # prototype semantics)
+    inner_solver: str = "fista"
+    aipp_lambda0: float = 1.0
+    aipp_max_prox: int = 30
+    aipp_rho: float = 1e-6       # prox-residual stop ||W_{j-1}-W_j||/lam
 
 
 @dataclasses.dataclass
@@ -246,6 +255,103 @@ def _make_fista(ops: _Ops, params: HallarParams):
     return fista
 
 
+def _make_aipp(ops: _Ops, params: HallarParams):
+    """ADAP-AIPP on the AL subproblem (``inner_solver="aipp"``).
+
+    Prox-point outer loop: each step minimizes
+    ``lam * AL(Y; p, beta) + 1/2 ||Y - W||^2`` over the spectraplex ball
+    with the same fused projected-FISTA machinery (the prox term makes the
+    subproblem strongly convex, which is ADAP-AIPP's whole point on the
+    nonconvex AL); a failed descent check halves ``lam`` and retries
+    (``hallar/py/hlr.py:147-191`` prototype semantics, cleaned up); stops
+    when the prox residual ``||W_prev - W||/lam`` is small.  Fully traced —
+    one dispatch per (rank) signature like the FISTA path.
+    """
+
+    def al_val(Y, p, beta):
+        ax = ops.AX(Y)
+        resid = ax - ops.b
+        return (ops.CX(Y) + jnp.vdot(p, resid)
+                + 0.5 * beta * jnp.vdot(resid, resid))
+
+    def prox_val_grad(Y, W, lam, p, beta):
+        ax = ops.AX(Y)
+        resid = ax - ops.b
+        val = lam * (ops.CX(Y) + jnp.vdot(p, resid)
+                     + 0.5 * beta * jnp.vdot(resid, resid))
+        grad = lam * 2.0 * ops.SY(p + beta * resid, Y)
+        diff = Y - W
+        return (val + 0.5 * jnp.vdot(diff, diff), grad + diff)
+
+    def prox_fista(Y0, W, lam, p, beta, L0):
+        def cond(st):
+            Y, Z, tk, L, k, done = st
+            return (~done) & (k < params.maxiter_fista)
+
+        def body(st):
+            Y, Z, tk, L, k, done = st
+            fz, gz = prox_val_grad(Z, W, lam, p, beta)
+
+            def bt_cond(s):
+                L, _, _ = s
+                Yn = ops.project(Z - gz / L)
+                fy, _ = prox_val_grad(Yn, W, lam, p, beta)
+                diff = Yn - Z
+                ub = fz + jnp.vdot(gz, diff) + 0.5 * L * jnp.vdot(diff, diff)
+                return (fy > ub + 1e-12) & (L < 1e12)
+
+            def bt_body(s):
+                L, a, b = s
+                return (L * params.L_inc_fista, a, b)
+
+            L, _, _ = jax.lax.while_loop(bt_cond, bt_body, (L, 0.0, 0.0))
+            Yn = ops.project(Z - gz / L)
+            tn = 0.5 * (1.0 + jnp.sqrt(1.0 + 4.0 * tk * tk))
+            Zn = Yn + ((tk - 1.0) / tn) * (Yn - Y)
+            crit = L * jnp.linalg.norm(Yn - Z)
+            done = crit <= params.err_tol_fista * (1.0 + jnp.linalg.norm(Yn))
+            return (Yn, Zn, tn,
+                    jnp.maximum(L / params.L_inc_fista, params.L0_fista),
+                    k + 1, done)
+
+        st0 = (Y0, Y0, jnp.asarray(1.0, Y0.dtype),
+               jnp.asarray(L0, Y0.dtype), jnp.asarray(0, jnp.int32),
+               jnp.asarray(False))
+        Y, _, _, L, k, _ = jax.lax.while_loop(cond, body, st0)
+        return Y, L, k
+
+    def aipp(Y0, p, beta, L0):
+        dtype = Y0.dtype
+
+        def cond(st):
+            W, lam, L, j, total_k, done = st
+            return (~done) & (j < params.aipp_max_prox)
+
+        def body(st):
+            W, lam, L, j, total_k, done = st
+            Wn, Ln, k = prox_fista(W, W, lam, p, beta, L0=L)
+            # descent acceptance (prototype hlr.py:174-178): the prox step
+            # must not increase lam*g + 1/2||.-W||^2; a failure flags
+            # local nonconvexity stronger than 1/lam -> halve lam, retry
+            ok = (lam * al_val(Wn, p, beta)
+                  + 0.5 * jnp.vdot(Wn - W, Wn - W)
+                  <= lam * al_val(W, p, beta) + 1e-10)
+            lam_n = jnp.where(ok, lam, lam * 0.5)
+            W_out = jnp.where(ok, Wn, W)
+            resid = jnp.linalg.norm(W_out - W) / lam
+            done_n = ok & (resid <= params.aipp_rho
+                           * (1.0 + jnp.linalg.norm(W_out)))
+            return (W_out, lam_n, Ln, j + 1, total_k + k, done_n)
+
+        st0 = (Y0, jnp.asarray(params.aipp_lambda0, dtype),
+               jnp.asarray(L0, dtype), jnp.asarray(0, jnp.int32),
+               jnp.asarray(0, jnp.int32), jnp.asarray(False))
+        W, lam, L, j, total_k, done = jax.lax.while_loop(cond, body, st0)
+        return W, L, total_k
+
+    return aipp
+
+
 def hallar_solve(prob: SpectraplexProblem,
                  params: Optional[HallarParams] = None,
                  Y0: Optional[np.ndarray] = None,
@@ -270,9 +376,12 @@ def hallar_solve(prob: SpectraplexProblem,
 
     fista_cache = {}
 
+    mk_inner = (_make_aipp if params.inner_solver == "aipp"
+                else _make_fista)
+
     def get_fista(r):
         if r not in fista_cache:
-            fista_cache[r] = jax.jit(_make_fista(ops, params))
+            fista_cache[r] = jax.jit(mk_inner(ops, params))
         return fista_cache[r]
 
     post = jax.jit(lambda Y, p, beta: (

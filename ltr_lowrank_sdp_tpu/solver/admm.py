@@ -94,6 +94,8 @@ class ADMMInfo:
     interrupted: bool = False
     converged: bool = False
     bad_iter: bool = False
+    plateau: bool = False    # f32 near-feasible non-certifying plateau
+                             # (main mode) — the driver's f64 polish signal
     # device metrics at the last chunk boundary (host mirrors; avoid
     # extra device->host syncs in the driver's control logic)
     last_gap: Optional[float] = None
@@ -589,6 +591,12 @@ class ADMMPhase:
         step = self._chunk_j(mode, int(iter_ceiling), self.chunk, with_grams)
         last_f64_it = -10**9
         f64_every = 0
+        # f32 plateau detector (main mode): consecutive chunks that are
+        # near-feasible (pinf <= 100*tol) but never certify are the
+        # precision-plateau signature — break early and let the driver's
+        # f64 polish take over instead of grinding rho into oscillation
+        plateau_chunks = 0
+        f32 = jnp.dtype(dtype) == jnp.float32
         while True:
             carry, ctrl, blob = step(carry, ctrl)
             # ONE host readback per chunk (the speculative certification
@@ -619,6 +627,12 @@ class ADMMPhase:
                 break
             if code == CODE_CEILING:
                 break
+            if f32 and mode == "main":
+                plateau_chunks = (plateau_chunks + 1
+                                  if last_pinf <= 1e2 * p.phase2_tol else 0)
+                if plateau_chunks >= 6:
+                    info.plateau = True
+                    break
             if (f64_check is not None
                     and last_pinf <= p.phase2_tol
                     and last_gap <= 1e4 * p.phase2_tol

@@ -731,8 +731,12 @@ class Solver:
             tol = p.phase2_tol
             if d_gap <= tol and d_pinf <= tol:
                 return False            # already certified
-            if d_pinf > 1e2 * tol or d_gap > 1e4 * tol:
-                return False            # too far: not a precision plateau
+            if d_pinf > 1e2 * tol:
+                # too far: not a precision plateau.  The gap is NOT vetoed
+                # — under f32 dual oscillation the last-chunk gap snapshot
+                # is unreliable (it swings 1e-5..1e-1 per iteration);
+                # near-feasibility is the plateau signal.
+                return False
             admm64 = self._phases64([u.shape[1] for u in admm_carry.U])
             c64 = admm64.init_carry(
                 tuple(jnp.asarray(u, jnp.float64) for u in admm_carry.U),
@@ -743,9 +747,14 @@ class Solver:
                 else jnp.asarray(admm_carry.vlp, jnp.float64),
                 jnp.asarray(admm_carry.dual, jnp.float64), obj_scale_h)
             ceiling = admm_it + min(3000, p.max_admm_iter)
+            # re-enter at a moderate rho: the f32 phase may have escalated
+            # rho to ~1e6 chasing its own noise, and f64 ADMM converges
+            # fastest from a sane penalty
+            rho_in = min(admm_rho, p.rho_max)
             c64, rho2, it2, pinfo = admm64.run(
-                c64, min(admm_rho, rho_max_cur), admm_it, ceiling, t0,
-                mode="reopt", record_cb=admm_record, rho_max=rho_max_cur,
+                c64, rho_in, admm_it, ceiling, t0,
+                mode="reopt", record_cb=admm_record,
+                rho_max=max(rho_max_cur, p.rho_max),
                 with_grams=with_grams)
             admm_it = it2
             cg_total += pinfo.cg_iters_total

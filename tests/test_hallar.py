@@ -68,3 +68,18 @@ def test_trace_constrained_min_eig():
                                           lanczos_iters=24))
     lam_min = np.linalg.eigvalsh(C)[0]
     assert abs(res.pobj - min(lam_min, 0.0)) < 1e-3
+
+
+def test_mss_cycle_aipp_inner():
+    """ADAP-AIPP inner solver (inner_solver="aipp") reaches the same
+    Lovász theta as the ADAP-FISTA path on the 5-cycle (hallar README
+    option-table parity, VERDICT r2 H2)."""
+    edges = [(0, 1), (1, 2), (2, 3), (3, 4), (4, 0)]
+    prob = build_mss_problem(edges, 5)
+    params = HallarParams(eps_pfeas=1e-6, eps_gap=1e-4, maxiter_hallar=400,
+                          init_rank=2, lanczos_iters=10,
+                          inner_solver="aipp")
+    res = hallar_solve(prob, params)
+    assert res.pinf <= 1e-5
+    assert abs(-res.pobj - np.sqrt(5)) < 2e-3
+    assert res.converged
