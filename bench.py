@@ -33,8 +33,13 @@ import time
 
 DATA = "/root/reference/lorads/data"
 
+DN20 = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                    "dataset", "delaunay_n20_gen.mat")
+
 SUITE = [
-    # (name, path, lorads_cpu_sec, params overrides)
+    # (name, path, lorads_cpu_sec, params overrides) — ordered by OUR
+    # expected cost (cheap, reliably-certifying rows first so a
+    # budget-truncated run still reports the most complete snapshot)
     # MaxCut presets per lorads/README.md:166,197 (Gset 1e-2/10; large 1e+1/100)
     ("G13", f"{DATA}/Max_cut_SDP/G13.dat-s", 0.1,
      dict(phase1_tol=1e-2, heuristic_factor=10.0)),
@@ -42,17 +47,46 @@ SUITE = [
      dict(phase1_tol=1e+1, heuristic_factor=100.0)),
     ("delaunay_n14", f"{DATA}/Max_cut_matrix_files/delaunay_n14.mat", 2.5,
      dict(phase1_tol=1e+1, heuristic_factor=100.0)),
-    ("vsp_befref_fxm_2_4_air02",
-     f"{DATA}/Max_cut_matrix_files/vsp_befref_fxm_2_4_air02.mat", 5.0,
-     dict(phase1_tol=1e+1, heuristic_factor=100.0)),
     # Mittelmann family: reference runs with reoptLevel 2 + defaults
     # (lorads/scripts/run.ipynb cell "Mittelmann"); baselines README.md:233-263
     ("checker_1.5", f"{DATA}/General_SDP/checker_1.5.dat-s", 4.8, dict()),
-    ("shmup4", f"{DATA}/General_SDP/shmup4.dat-s", 117.0, dict()),
-    ("theta102", f"{DATA}/General_SDP/theta102.dat-s", 197.0, dict()),
+    ("vsp_befref_fxm_2_4_air02",
+     f"{DATA}/Max_cut_matrix_files/vsp_befref_fxm_2_4_air02.mat", 5.0,
+     dict(phase1_tol=1e+1, heuristic_factor=100.0)),
     ("amazon0302", f"{DATA}/Max_cut_matrix_files/amazon0302.mat", 47.7,
      dict(phase1_tol=1e+1, heuristic_factor=100.0)),
+    # n = 2^20 = 1,048,576 MaxCut: the bundled data stops at n=262k, so a
+    # statistically-equivalent Delaunay triangulation over 2^20 seeded
+    # random points is generated on demand (3,145,688 edges vs the real
+    # delaunay_n20's 3,145,686); baseline = the published delaunay_n20
+    # row (lorads/README.md:191).
+    ("delaunay_n20_gen", DN20, 414.0,
+     dict(phase1_tol=1e+1, heuristic_factor=100.0)),
+    ("shmup4", f"{DATA}/General_SDP/shmup4.dat-s", 117.0, dict()),
+    ("theta102", f"{DATA}/General_SDP/theta102.dat-s", 197.0, dict()),
 ]
+
+
+def _ensure_dn20():
+    """Deterministically (re)generate the n=2^20 Delaunay MaxCut .mat."""
+    if os.path.exists(DN20):
+        return
+    import numpy as np
+    import scipy.io
+    import scipy.sparse
+    import scipy.spatial
+
+    rng = np.random.default_rng(20)
+    n = 1 << 20
+    tri = scipy.spatial.Delaunay(rng.random((n, 2)))
+    s = tri.simplices
+    e = np.vstack([s[:, [0, 1]], s[:, [1, 2]], s[:, [0, 2]]])
+    lo, hi = e.min(1), e.max(1)
+    uniq = np.unique(lo.astype(np.int64) * n + hi)
+    lo, hi = (uniq // n).astype(np.int32), (uniq % n).astype(np.int32)
+    A = scipy.sparse.coo_matrix((np.ones(lo.size), (lo, hi)), shape=(n, n))
+    os.makedirs(os.path.dirname(DN20), exist_ok=True)
+    scipy.io.savemat(DN20, {"Problem": {"A": (A + A.T).tocsc()}})
 
 OK_STATUSES = ("primal_dual_optimal", "primal_optimal")
 RETRIES = 1

@@ -179,8 +179,14 @@ def collate(samples: List[GraphSample], node_mult: int = 256,
     B = len(samples)
     n_total = sum(s.x.shape[0] for s in samples)
     e_total = sum(s.edge_index.shape[1] for s in samples)
-    n_pad = _round_up(n_total + 1, node_mult)
-    e_pad = _round_up(max(e_total, 1), edge_mult)
+    # power-of-two envelopes (floored at node_mult/edge_mult): shuffled
+    # epochs re-mix batch membership every epoch, and with fine-grained
+    # (multiple-of-256) envelopes nearly every batch was a fresh XLA
+    # compile — hundreds of compilations per run exhausted the CPU
+    # backend's LLVM JIT section memory.  Pow2 bucketing caps the distinct
+    # shape signatures at a handful per run (~2x padding worst-case).
+    n_pad = max(node_mult, 1 << int(n_total).bit_length())
+    e_pad = max(edge_mult, 1 << int(max(e_total - 1, 1)).bit_length())
 
     x = np.zeros((n_pad, samples[0].x.shape[1]), np.float32)
     ei = np.full((2, e_pad), n_pad - 1, np.int64)   # dead node

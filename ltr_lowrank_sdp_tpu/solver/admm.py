@@ -375,8 +375,13 @@ class ADMMPhase:
                         preferred_element_type=dtype))
                     for g, u, v in zip(grams, carry.U, carry.V))
 
-            # divergence guard
-            num_err = (carry.pinf_inf >= 1e10) | (carry.gap >= 1 - 1e-8)
+            # divergence guard + explicit NaN check (NaN compares false, so
+            # the magnitude tests alone let a CG blow-up grind for
+            # thousands of iterations; reference NaN residual check at
+            # lorads_cgs.c:277-280)
+            num_err = ((carry.pinf_inf >= 1e10) | (carry.gap >= 1 - 1e-8)
+                       | jnp.isnan(carry.pinf_l1) | jnp.isnan(carry.gap)
+                       | jnp.isnan(carry.pobj))
 
             # bad-iteration counters (lorads_admm.c:147-170)
             bad = ctrl.bad_pd
@@ -439,7 +444,14 @@ class ADMMPhase:
                 rho2 = jnp.where(stalled, rho * bump, rho)
                 cur_rho_max = jnp.where(stalled, rho2, ctrl.cur_rho_max)
                 old_mean = jnp.where(plateau_tick, mean, ctrl.old_mean)
-                rho2 = jnp.minimum(rho2, p.rho_ceiling_admm)
+                # f32 compute: CG inner products at rho >~ 1e6 overflow
+                # float32 range (alpha = rTr/pAp with terms ~ (rho |x|)^2);
+                # cap the penalty where the normal operator is still
+                # representable — the f64 polish handles anything beyond
+                ceiling = (min(p.rho_ceiling_admm, 3e5)
+                           if jnp.dtype(dtype) == jnp.float32
+                           else p.rho_ceiling_admm)
+                rho2 = jnp.minimum(rho2, ceiling)
                 ctrl = ctrl._replace(it=it1, rho=rho2,
                                      cur_rho_max=cur_rho_max,
                                      old_mean=old_mean)

@@ -641,6 +641,12 @@ class ALMPhase:
                             & (ctrl.k - ctrl.k0 > 1))
                 code = jnp.where(
                     (code == CODE_CONTINUE) & conv, CODE_CONVERGED, code)
+                # NaN metrics (NaN compares false everywhere, so without
+                # this the outer loop would spin to maxiter on a blow-up)
+                code = jnp.where(
+                    jnp.isnan(carry.pinf_l1) | jnp.isnan(carry.gap)
+                    | jnp.isnan(carry.pobj),
+                    CODE_NUM_ERR, code)
                 # rank-escalation request
                 allow_esc = (not is_rank_max) and (
                     mode == "main" or len(self.cones) <= 10)
