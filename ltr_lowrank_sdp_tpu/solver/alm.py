@@ -537,9 +537,22 @@ class ALMPhase:
                           CODE_CONTINUE)).astype(jnp.int32)
             ctrl = ctrl._replace(code=jnp.where(
                 ctrl.code == CODE_CONTINUE, code, ctrl.code))
-            graded = ~(stats.num_err | stats.tau_small
-                       | stats.early_exit)
-            easy = local <= 20
+            # A tau-too-small exit is ungraded in the reference (goto
+            # UpdateRho, lorads_alm.c:1066-1073) — in f64 it essentially
+            # never fires, but in f32 the quartic line search routinely
+            # collapses to tau ~ 0 (noise-dominated coefficients), and
+            # leaving those passes fully ungraded froze rank_flag just
+            # below the escalation threshold on theta102 (stuck at 12 <
+            # 15 forever at rank 13 while the reference escalated to
+            # 153).  f32 adaptation: grade a tau-small pass by the SAME
+            # local-iteration brackets as a completed pass — a long
+            # grind ending in a dead step accumulates difficulty — but
+            # never let it RESET the flag (a quick tau-small exit is
+            # normal f32 convergence at the current rho, not "easy").
+            tau_stall = stats.tau_small & self._p1_guard
+            graded = ~(stats.num_err | stats.early_exit
+                       | (stats.tau_small & ~tau_stall))
+            easy = (local <= 20) & ~tau_stall
             add = jnp.where(
                 local <= 20, 0,
                 jnp.where(local <= 100, 2,
@@ -548,7 +561,8 @@ class ALMPhase:
                 graded & easy, 0,
                 ctrl.rank_flag + jnp.where(graded, add, 0))
             ctrl = ctrl._replace(rank_flag=new_flag.astype(jnp.int32))
-            cont = graded & (~easy)
+            # tau_stall still ends the difficulty loop (reference goto)
+            cont = graded & (~easy) & ~tau_stall
             return carry, ctrl, cont
 
         carry, ctrl, cont = jax.lax.cond(

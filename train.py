@@ -206,7 +206,11 @@ def main(argv=None):
         tx = optax.MultiSteps(tx, args.grad_accum)
     opt_state = tx.init(params)
 
-    @partial(jax.jit, static_argnames=("num_graphs", "tf_ratio"))
+    # tf_ratio is TRACED (the decoder's per-step coin test is a jnp.where):
+    # making it static recompiled train_step every epoch of the teacher-
+    # forcing decay — hundreds of XLA CPU compilations exhausted the LLVM
+    # JIT section memory mid-run
+    @partial(jax.jit, static_argnames=("num_graphs",))
     def train_step(params, opt_state, x, ei, ea, batch, g, sched_t, mask,
                    length, num_graphs, tf_ratio, drng):
         def loss_fn(p):
@@ -316,7 +320,7 @@ def main(argv=None):
                 jnp.array(b.edge_attr), jnp.array(b.batch),
                 jnp.array(b.global_attr), jnp.array(b.schedule),
                 jnp.array(b.mask), jnp.array(b.length), b.num_graphs,
-                round(float(tf_ratio), 2), drng,
+                jnp.asarray(float(tf_ratio), jnp.float32), drng,
             )
             ep_loss += float(loss)
             nb += 1
