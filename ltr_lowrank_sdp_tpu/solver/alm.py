@@ -103,6 +103,8 @@ class OuterCtrl(NamedTuple):
     code: jnp.ndarray               # exit code (CODE_*)
     resuming: jnp.ndarray           # i32: mid-outer-iteration resume (YIELD)
     budget_start: jnp.ndarray      # inner_total at dispatch entry
+    best_pinf_inf: jnp.ndarray     # f32-floor detector: best l_inf so far
+    p1_stall: jnp.ndarray          # i32: consecutive outers with <5% gain
 
 
 class PassStats(NamedTuple):
@@ -153,6 +155,7 @@ def make_outer_ctrl(params: SolverParams, outer_iter: int,
         rho_update_factor=f(rho_update_factor), rho_factor_flag=i32(0),
         inner_total=i32(inner_total), code=i32(CODE_CONTINUE),
         resuming=i32(0), budget_start=i32(inner_total),
+        best_pinf_inf=f(jnp.inf), p1_stall=i32(0),
     )
 
 
@@ -264,7 +267,8 @@ class ALMPhase:
 
     # ---------------- inner descent loop (one sub-loop pass) ----------- #
 
-    def _inner_pass(self, carry: ALMCarry, early_variant: bool):
+    def _inner_pass(self, carry: ALMCarry, early_variant: bool,
+                    p1_floor=False):
         p = self.params
         dtype = self.b.dtype
         st0 = (
@@ -377,13 +381,16 @@ class ALMPhase:
                 # guards against an over-tight phase 1: the reference's
                 # "l_inf" is pinf_l1*(1+|b|_1)/(1+|b|_inf), and when the
                 # norm ratio is skewed (shmup4: 400x) the phase-1 bar
-                # lands at or below the f32 optimization floor — once
-                # pinf_l1 meets the FINAL tolerance there is nothing left
-                # for ALM to certify and the f32 inner loop would grind
-                # at huge rho for nothing.  In f64 the reference bar is
-                # achievable and kept exactly.
+                # lands at or below the f32 optimization floor.  The
+                # alternative only fires once ``p1_floor`` certifies a
+                # REAL floor (l_inf stopped improving across rho
+                # escalations): exiting the moment pinf_l1 meets the
+                # final tolerance hands ADMM a rho far below the
+                # reference's, which destabilizes the U/V proximal
+                # solves (checker_1.5 diverged exactly this way).
                 early = ((pinf_inf <= p.phase1_tol)
-                         | (self._p1_guard & (pinf <= p.phase2_tol))) & (
+                         | (self._p1_guard & p1_floor
+                            & (pinf <= p.phase2_tol))) & (
                     (c.gap <= p.phase1_tol) | (not p.high_acc_mode))
             else:
                 early = jnp.asarray(False)
@@ -525,7 +532,8 @@ class ALMPhase:
 
         def run_inner(args):
             carry, ctrl = args
-            carry, stats = self._inner_pass(carry, early_variant)
+            carry, stats = self._inner_pass(carry, early_variant,
+                                            p1_floor=ctrl.p1_stall >= 3)
             local = stats.local_iter
             ctrl = ctrl._replace(
                 cur_iter_counter=ctrl.cur_iter_counter + local,
@@ -629,13 +637,24 @@ class ALMPhase:
             # ---- metrics + convergence / escalation codes ----
             carry = self._metrics(carry)
 
+            # f32-floor tracking: an outer iteration that escalated rho
+            # but failed to improve l_inf-infeasibility by >=5% counts
+            # toward the floor; three in a row certify that the phase-1
+            # bar is unreachable at this precision (see _inner_pass)
+            improved = carry.pinf_inf <= 0.95 * ctrl.best_pinf_inf
+            ctrl = ctrl._replace(
+                p1_stall=jnp.where(improved, 0, ctrl.p1_stall + 1)
+                .astype(jnp.int32),
+                best_pinf_inf=jnp.minimum(ctrl.best_pinf_inf,
+                                          carry.pinf_inf))
+
             def exit_code(carry, ctrl):
                 code = ctrl.code
                 if mode == "main":
-                    # pinf_l1 alternative (f32 only): see the
-                    # over-tight-phase-1 note in _inner_pass
+                    # pinf_l1 alternative (f32 only, floor-gated): see
+                    # the over-tight-phase-1 note in _inner_pass
                     conv = ((carry.pinf_inf <= p.phase1_tol)
-                            | (self._p1_guard
+                            | (self._p1_guard & (ctrl.p1_stall >= 3)
                                & (carry.pinf_l1 <= p.phase2_tol))) & (
                         (carry.gap <= p.phase1_tol) | (not p.high_acc_mode))
                     conv = conv | (
