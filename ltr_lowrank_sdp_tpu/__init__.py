@@ -31,7 +31,10 @@ if _os.environ.get("LORADS_TPU_NO_COMPILE_CACHE", "0") != "1":
     try:
         _os.makedirs(_cache_dir, exist_ok=True)
         _jax.config.update("jax_compilation_cache_dir", _cache_dir)
-        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        # 0.0: persist even sub-second one-op programs — through the
+        # remote-TPU tunnel each tiny compile costs ~0.4s, and a solve
+        # dispatches a dozen of them before the fused phases start
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     except Exception:  # pragma: no cover - cache is best-effort
         pass
 

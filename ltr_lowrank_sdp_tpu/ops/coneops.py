@@ -69,13 +69,17 @@ class _SparseSym:
         self.n = n
         self.num_seg = num_seg
         self.nnz = int(rows.size)
-        self.rows = jnp.asarray(rows, jnp.int32)
-        self.cols = jnp.asarray(cols, jnp.int32)
-        self.vals = jnp.asarray(vals, dtype)
-        self.cid = jnp.asarray(cid, jnp.int32) if cid is not None else None
+        # static operand tables stay NUMPY: device-resident closure
+        # constants force a device->host read at trace/lower time, which
+        # stalls (minutes, nondeterministic) through the remote-TPU tunnel
+        self.rows = np.asarray(rows, np.int32)
+        self.cols = np.asarray(cols, np.int32)
+        self.vals = np.asarray(vals, jnp.dtype(dtype))
+        self.cid = np.asarray(cid, np.int32) if cid is not None else None
         off = rows != cols
         # off-diagonal entries count twice in <A, X> for symmetric X
-        self.double_coef = jnp.asarray(np.where(off, 2.0 * vals, vals), dtype)
+        self.double_coef = np.asarray(np.where(off, 2.0 * vals, vals),
+                                      jnp.dtype(dtype))
         self.spmm = (EllSpMM(rows, cols, n, vals=vals, cid=cid,
                              num_seg=num_seg, dtype=dtype)
                      if self.nnz else None)
@@ -156,7 +160,7 @@ class ConeOps:
             np.add.at(C, (c_rows, c_cols), c_vals)
             off = c_rows != c_cols
             np.add.at(C, (c_cols[off], c_rows[off]), c_vals[off])
-            self.c_dense = jnp.asarray(C, dtype)
+            self.c_dense = np.asarray(C, jnp.dtype(dtype))
 
         # ---- constraints ----
         self.a_sparse = None
@@ -177,11 +181,11 @@ class ConeOps:
                 by_row = np.argsort(didx)
                 self.constr_order = dcid[by_row]
                 self.diag_identity = True
-                self.diag_val = jnp.asarray(dval[by_row], dtype)
+                self.diag_val = np.asarray(dval[by_row], jnp.dtype(dtype))
             else:
-                self.diag_idx = jnp.asarray(didx, jnp.int32)
-                self.diag_val = jnp.asarray(dval, dtype)
-                self.diag_cid = jnp.asarray(dcid, jnp.int32)
+                self.diag_idx = np.asarray(didx, np.int32)
+                self.diag_val = np.asarray(dval, jnp.dtype(dtype))
+                self.diag_cid = np.asarray(dcid, np.int32)
                 self.diag_seg = EllSegSum(dcid, int(dcid.size), cone.m)
                 self.diag_row_seg = EllSegSum(didx, int(didx.size), n)
         else:
@@ -196,7 +200,7 @@ class ConeOps:
                 a_rows, a_cols, cone.a_vals, cone.a_cid,
                 n, cone.m, dtype,
             )
-            self.a_cid = jnp.asarray(cone.a_cid, jnp.int32)
+            self.a_cid = np.asarray(cone.a_cid, np.int32)
             self.a_seg = EllSegSum(cone.a_cid, int(cone.a_cid.size), cone.m)
 
         # dense S = obj*C + A*(w) path: precompute a gather layout that
@@ -219,10 +223,11 @@ class ConeOps:
                      + a_rows_d[offa]),
                 ])
                 self.a_dense_seg = EllSegSum(slot_lin, slot_lin.size, n * n)
-                self.a_slot_vals = jnp.asarray(
-                    np.concatenate([cone.a_vals, cone.a_vals[offa]]), dtype)
-                self.a_slot_cid = jnp.asarray(
-                    np.concatenate([cone.a_cid, cone.a_cid[offa]]), jnp.int32)
+                self.a_slot_vals = np.asarray(
+                    np.concatenate([cone.a_vals, cone.a_vals[offa]]),
+                    jnp.dtype(dtype))
+                self.a_slot_cid = np.asarray(
+                    np.concatenate([cone.a_cid, cone.a_cid[offa]]), np.int32)
 
     # ------------------------------------------------------------------ #
     # boundary conversions (no-ops when relabel was off)
@@ -366,11 +371,11 @@ class LPOps:
         self.n_cols = lp.n_cols
         self.m = lp.m
         self.dtype = dtype
-        self.c = jnp.asarray(lp.c, dtype)
-        self.col = jnp.asarray(lp.col, jnp.int32)
-        self.cid = jnp.asarray(lp.cid, jnp.int32)
-        self.vals = jnp.asarray(lp.vals, dtype)
-        self.nrm2sq = jnp.asarray(lp.nrm2sq, dtype)
+        self.c = np.asarray(lp.c, jnp.dtype(dtype))
+        self.col = np.asarray(lp.col, np.int32)
+        self.cid = np.asarray(lp.cid, np.int32)
+        self.vals = np.asarray(lp.vals, jnp.dtype(dtype))
+        self.nrm2sq = np.asarray(lp.nrm2sq, jnp.dtype(dtype))
         self.cid_seg = EllSegSum(lp.cid, int(lp.cid.size), lp.m)
         self.col_seg = EllSegSum(lp.col, int(lp.col.size), lp.n_cols)
 

@@ -109,8 +109,12 @@ class EllSegSum:
         self.length = int(length)
         self.num = int(num)
         tables, _, pos = _bucket_layout(ids, length, num)
-        self.tables = [jnp.asarray(t, jnp.int32) for t in tables]
-        self.pos = jnp.asarray(pos, jnp.int32)
+        # tables stay NUMPY: as closure constants they lower from host
+        # memory; device-resident constants force a device->host read at
+        # every trace/lower (observed to stall minutes through the
+        # remote-TPU tunnel)
+        self.tables = [np.asarray(t, np.int32) for t in tables]
+        self.pos = np.asarray(pos, np.int32)
 
     def __call__(self, vals):
         pad_shape = (1,) + vals.shape[1:]
@@ -171,11 +175,12 @@ class EllSpMM:
         # maps to src=nnz (zero-extended weight) and col=0 (weight 0 kills it)
         slot_src_ext = np.concatenate([slot_src, [nnz]])
         slot_col_ext = np.concatenate([slot_col, [0]])
-        self.src_tabs = [jnp.asarray(slot_src_ext[t], jnp.int32)
+        # static tables stay NUMPY (see EllSegSum.__init__)
+        self.src_tabs = [np.asarray(slot_src_ext[t], np.int32)
                          for t in tables]
-        self.col_tabs = [jnp.asarray(slot_col_ext[t], jnp.int32)
+        self.col_tabs = [np.asarray(slot_col_ext[t], np.int32)
                          for t in tables]
-        self.pos = jnp.asarray(pos, jnp.int32)
+        self.pos = np.asarray(pos, np.int32)
         # total padded slots (for flop/bandwidth accounting)
         self.padded_slots = int(sum(t.size for t in tables))
 
@@ -183,8 +188,8 @@ class EllSpMM:
         self.val_tabs = None
         if vals is not None:
             vals_ext = np.concatenate([np.asarray(vals, np.float64), [0.0]])
-            self.val_tabs = [jnp.asarray(vals_ext[np.asarray(slot_src_ext)[t]],
-                                         dtype)
+            self.val_tabs = [np.asarray(vals_ext[np.asarray(slot_src_ext)[t]],
+                                        jnp.dtype(dtype))
                              for t in tables]
         # slot -> constraint-id tables (padding -> num_seg zero weight slot;
         # num_seg must be the TRUE segment count so the pad index always
@@ -196,7 +201,7 @@ class EllSpMM:
                             else (int(cid.max()) + 1 if cid.size else 0))
             cid_ext = np.concatenate([cid, [self.num_seg]])
             self.cid_tabs = [
-                jnp.asarray(cid_ext[np.asarray(slot_src_ext)[t]], jnp.int32)
+                np.asarray(cid_ext[np.asarray(slot_src_ext)[t]], np.int32)
                 for t in tables]
 
     # ------------------------------------------------------------------ #

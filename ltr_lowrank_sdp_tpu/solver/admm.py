@@ -525,32 +525,34 @@ class ADMMPhase:
 
     def init_carry(self, U, V, ulp, vlp, dual, obj_scale) -> ADMMCarry:
         dtype = self.b.dtype
-        big = jnp.asarray(1e30, dtype)
+        # numpy scalars (vs jnp.asarray): distinct VALUES would otherwise
+        # each bake into a fresh one-op XLA program (see make_outer_ctrl)
+        big = np.asarray(1e30, jnp.dtype(dtype))
         carry = ADMMCarry(
             U=U, V=V, ulp=ulp, vlp=vlp, dual=dual,
             constr_val=tuple(jnp.zeros_like(self.b) for _ in self.cones),
             constr_lp=jnp.zeros_like(self.b) if self.has_lp else None,
             constr_sum=jnp.zeros_like(self.b),
             CV=tuple(jnp.zeros_like(v) for v in V),  # _metrics fills this
-            obj_scale=jnp.asarray(obj_scale, dtype),
+            obj_scale=np.asarray(obj_scale, jnp.dtype(dtype)),
             pobj=big, dobj=big, pinf_l1=big, pinf_inf=big, gap=big,
         )
         return self._metrics_j(carry)
 
     def make_ctrl(self, rho: float, rho_max: float,
                   iter_start: int = 0) -> ADMMCtrl:
-        dtype = self.b.dtype
+        dtype = jnp.dtype(self.b.dtype)
         return ADMMCtrl(
-            it=jnp.asarray(iter_start, jnp.int32),
-            rho=jnp.asarray(rho, dtype),
-            cur_rho_max=jnp.asarray(rho_max, dtype),
-            old_mean=jnp.asarray(1e30, dtype),
-            buf=jnp.zeros(10, dtype),
-            count=jnp.asarray(0, jnp.int32),
-            bad_pd=jnp.asarray(0, jnp.int32),
-            cg_total=jnp.asarray(0, jnp.int32),
-            cg_start=jnp.asarray(0, jnp.int32),
-            code=jnp.asarray(CODE_RUN, jnp.int32),
+            it=np.asarray(iter_start, np.int32),
+            rho=np.asarray(rho, dtype),
+            cur_rho_max=np.asarray(rho_max, dtype),
+            old_mean=np.asarray(1e30, dtype),
+            buf=np.zeros(10, dtype),
+            count=np.asarray(0, np.int32),
+            bad_pd=np.asarray(0, np.int32),
+            cg_total=np.asarray(0, np.int32),
+            cg_start=np.asarray(0, np.int32),
+            code=np.asarray(CODE_RUN, np.int32),
         )
 
     def run(self, carry: ADMMCarry, rho: float, iter_start: int,

@@ -143,8 +143,12 @@ class ALMOuterInfo:
 def make_outer_ctrl(params: SolverParams, outer_iter: int,
                     last_outer_start: int, rho_update_factor: float,
                     inner_total: int = 0, dtype=jnp.float64) -> OuterCtrl:
-    i32 = lambda v: jnp.asarray(v, jnp.int32)
-    f = lambda v: jnp.asarray(v, dtype)
+    # numpy scalars: passed as jit ARGUMENTS they cost one host->device
+    # transfer; jnp.asarray would instead bake each distinct VALUE into a
+    # fresh one-op XLA program (a ~0.4s compile per new rho through the
+    # remote-TPU tunnel, and these never persist in the compile cache)
+    i32 = lambda v: np.asarray(v, np.int32)
+    f = lambda v: np.asarray(v, jnp.dtype(dtype))
     return OuterCtrl(
         k=i32(outer_iter), k0=i32(outer_iter),
         last_outer_start=i32(last_outer_start),
@@ -843,7 +847,9 @@ def make_alm_carry(
     R, rlp, m, n_elems, rho0, params: SolverParams, dtype=jnp.float64,
     dual=None, obj_scale=1.0,
 ) -> ALMCarry:
-    big = jnp.asarray(1e30, dtype)
+    # scalars are numpy (see make_outer_ctrl) — zero BUFFERS stay jnp so
+    # no host memory or wire transfer is paid for large m
+    big = np.asarray(1e30, jnp.dtype(dtype))
     return ALMCarry(
         R=R,
         rlp=rlp,
@@ -853,9 +859,9 @@ def make_alm_carry(
         grad=tuple(jnp.zeros_like(r) for r in R),
         grad_lp=jnp.zeros_like(rlp) if rlp is not None else None,
         hist=lbfgs_mod.init_history(n_elems, params.lbfgs_list_length, dtype),
-        rho=jnp.asarray(rho0, dtype),
-        obj_scale=jnp.asarray(obj_scale, dtype),
-        cert_val=jnp.asarray(0.0, dtype),
-        cert_tol=jnp.asarray(0.1 / rho0, dtype),
+        rho=np.asarray(rho0, jnp.dtype(dtype)),
+        obj_scale=np.asarray(obj_scale, jnp.dtype(dtype)),
+        cert_val=np.asarray(0.0, jnp.dtype(dtype)),
+        cert_tol=np.asarray(0.1 / rho0, jnp.dtype(dtype)),
         pinf_l1=big, pinf_inf=big, gap=big, pobj=big, dobj=big,
     )

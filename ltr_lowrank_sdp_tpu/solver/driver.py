@@ -148,7 +148,10 @@ class Solver:
         b_np = np.asarray(prob.b)
         if self.constr_order is not None:
             b_np = b_np[self.constr_order]
-        self.b = jnp.asarray(b_np, dtype)
+        # numpy: as a closure constant it lowers from host memory (a
+        # device-resident b forces a device->host read at every
+        # trace/lower — an observed multi-minute stall on the tunnel)
+        self.b = np.asarray(b_np, jnp.dtype(dtype))
         self._phase_cache: Dict[Tuple[int, ...], Tuple[ALMPhase, ADMMPhase]] = {}
 
     def _place_factors(self, R):
@@ -441,7 +444,7 @@ class Solver:
         k_scale = 1
         while True:
             blob = np.asarray(self._final_j(k_scale)(
-                U, V, -dual, jnp.asarray(obj_scale, self.dtype),
+                U, V, -dual, np.asarray(obj_scale, jnp.dtype(self.dtype)),
                 jax.random.PRNGKey(7)))
             dinf, grams, tight = self._parse_final(
                 blob, [u.shape[1] for u in U], obj_scale, k_scale)
@@ -552,10 +555,8 @@ class Solver:
             chunk loops: same _fused_final, flags pinned to the
             'ADMM ran' case."""
             ff = self._fused_final_j()
-            flags_run = jnp.stack([
-                jnp.asarray(1.0, dtype), jnp.asarray(0.0, dtype),
-                jnp.asarray(0.0, dtype), jnp.asarray(0.0, dtype),
-                jnp.asarray(1.0, dtype)])
+            flags_run = np.asarray([1.0, 0.0, 0.0, 0.0, 1.0],
+                                   jnp.dtype(dtype))
             return lambda c, ct: ff(c, ct, flags_run, key7)
 
         while True:
@@ -572,7 +573,7 @@ class Solver:
                                       admm_chunk)
             carry, ctrl, n_alm, alm_buf = step(carry, ctrl)
             ac, actrl, admm_blob, flags = ha(
-                carry, ctrl, jnp.asarray(rho_max_cur, dtype))
+                carry, ctrl, np.asarray(rho_max_cur, jnp.dtype(dtype)))
             final_blob = self._fused_final_j()(ac, actrl, flags, key7)
             # ONE blocking readback for everything the host must decide on
             (n_alm_h, alm_rows, admm_blob_h, final_blob_h,
@@ -806,7 +807,8 @@ class Solver:
             obj_scale_h *= scale
             if admm_rho <= rho_max_cur:
                 c_alm = c_alm._replace(
-                    rho=jnp.maximum(jnp.asarray(admm_rho, dtype), c_alm.rho))
+                    rho=jnp.maximum(np.asarray(admm_rho, jnp.dtype(dtype)),
+                                    c_alm.rho))
             # reopt ALM with in-loop rank escalation: the reference's reopt
             # ALM calls AUG_RANK and restarts at ALG_START when the
             # difficulty grades accumulate (``lorads_alm.c:1175-1185``) —
