@@ -54,7 +54,8 @@ import numpy as np
 
 from ..problem import ConeData, LPConeData, SDPProblem
 from .compsum import csum, cvdot
-from .gatherseg import EllSegSum, EllSpMM, spmm_relabel_order
+from .gatherseg import (EllSegSum, EllSpMM, spmm_relabel_order,
+                        static_table)
 
 
 class _SparseSym:
@@ -69,17 +70,16 @@ class _SparseSym:
         self.n = n
         self.num_seg = num_seg
         self.nnz = int(rows.size)
-        # static operand tables stay NUMPY: device-resident closure
-        # constants force a device->host read at trace/lower time, which
-        # stalls (minutes, nondeterministic) through the remote-TPU tunnel
-        self.rows = np.asarray(rows, np.int32)
-        self.cols = np.asarray(cols, np.int32)
-        self.vals = np.asarray(vals, jnp.dtype(dtype))
-        self.cid = np.asarray(cid, np.int32) if cid is not None else None
+        # static_table: small tables embed into the HLO (host memory),
+        # large ones are device-committed — see ops/gatherseg.py
+        self.rows = static_table(rows, np.int32)
+        self.cols = static_table(cols, np.int32)
+        self.vals = static_table(vals, dtype)
+        self.cid = static_table(cid, np.int32) if cid is not None else None
         off = rows != cols
         # off-diagonal entries count twice in <A, X> for symmetric X
-        self.double_coef = np.asarray(np.where(off, 2.0 * vals, vals),
-                                      jnp.dtype(dtype))
+        self.double_coef = static_table(np.where(off, 2.0 * vals, vals),
+                                        dtype)
         self.spmm = (EllSpMM(rows, cols, n, vals=vals, cid=cid,
                              num_seg=num_seg, dtype=dtype)
                      if self.nnz else None)
@@ -88,12 +88,17 @@ class _SparseSym:
         """Per-entry e = <sym(UV^T)>[row, col] * val * (2 if offdiag else 1).
 
         Returns the (nnz,) vector of contributions (segment-sum separately).
+        When ``U is V`` the symmetric average is exact with half the
+        gathers (gathers dominate: ~7ns/index on the VPU).
         """
         ur = U[self.rows]
-        vc = V[self.cols]
         uc = U[self.cols]
-        vr = V[self.rows]
-        e = 0.5 * (jnp.sum(ur * vc, axis=-1) + jnp.sum(uc * vr, axis=-1))
+        if U is V:
+            e = jnp.sum(ur * uc, axis=-1)
+        else:
+            vc = V[self.cols]
+            vr = V[self.rows]
+            e = 0.5 * (jnp.sum(ur * vc, axis=-1) + jnp.sum(uc * vr, axis=-1))
         return self.double_coef * e
 
     def apply_static(self, Y, scale=None):
@@ -160,7 +165,7 @@ class ConeOps:
             np.add.at(C, (c_rows, c_cols), c_vals)
             off = c_rows != c_cols
             np.add.at(C, (c_cols[off], c_rows[off]), c_vals[off])
-            self.c_dense = np.asarray(C, jnp.dtype(dtype))
+            self.c_dense = static_table(C, dtype)
 
         # ---- constraints ----
         self.a_sparse = None
@@ -181,11 +186,11 @@ class ConeOps:
                 by_row = np.argsort(didx)
                 self.constr_order = dcid[by_row]
                 self.diag_identity = True
-                self.diag_val = np.asarray(dval[by_row], jnp.dtype(dtype))
+                self.diag_val = static_table(dval[by_row], dtype)
             else:
-                self.diag_idx = np.asarray(didx, np.int32)
-                self.diag_val = np.asarray(dval, jnp.dtype(dtype))
-                self.diag_cid = np.asarray(dcid, np.int32)
+                self.diag_idx = static_table(didx, np.int32)
+                self.diag_val = static_table(dval, dtype)
+                self.diag_cid = static_table(dcid, np.int32)
                 self.diag_seg = EllSegSum(dcid, int(dcid.size), cone.m)
                 self.diag_row_seg = EllSegSum(didx, int(didx.size), n)
         else:
@@ -200,34 +205,8 @@ class ConeOps:
                 a_rows, a_cols, cone.a_vals, cone.a_cid,
                 n, cone.m, dtype,
             )
-            self.a_cid = np.asarray(cone.a_cid, np.int32)
+            self.a_cid = static_table(cone.a_cid, np.int32)
             self.a_seg = EllSegSum(cone.a_cid, int(cone.a_cid.size), cone.m)
-
-        # dense S = obj*C + A*(w) path: precompute a gather layout that
-        # densifies the weighted constraint entries without any scatter
-        # (an EllSegSum whose segments are the n*n grid cells; empty cells
-        # ride the zero bucket).
-        self.a_dense_seg = None
-        if cone.kind_a == "dense" or (
-            cone.kind_c == "dense" and cone.kind_a != "diag"
-        ):
-            a_rows_d = np.asarray(self.a_sparse.rows) \
-                if self.a_sparse is not None else cone.a_rows
-            a_cols_d = np.asarray(self.a_sparse.cols) \
-                if self.a_sparse is not None else cone.a_cols
-            if a_rows_d.size:
-                offa = a_rows_d != a_cols_d
-                slot_lin = np.concatenate([
-                    a_rows_d.astype(np.int64) * n + a_cols_d,
-                    (a_cols_d[offa].astype(np.int64) * n
-                     + a_rows_d[offa]),
-                ])
-                self.a_dense_seg = EllSegSum(slot_lin, slot_lin.size, n * n)
-                self.a_slot_vals = np.asarray(
-                    np.concatenate([cone.a_vals, cone.a_vals[offa]]),
-                    jnp.dtype(dtype))
-                self.a_slot_cid = np.asarray(
-                    np.concatenate([cone.a_cid, cone.a_cid[offa]]), np.int32)
 
     # ------------------------------------------------------------------ #
     # boundary conversions (no-ops when relabel was off)
@@ -263,6 +242,93 @@ class ConeOps:
         contrib = self.a_sparse.contract(U, V)
         return self.a_seg(contrib)
 
+    def constr_vals_pair(self, R, D):
+        """(A(2 sym(RD^T)), A(DD^T)) — the ALM line-search pair q1-half/q2
+        in ONE pass: the R/D row gathers are shared and the two segment
+        sums ride a single batched (nnz, 2) reduction.  Equals
+        ``(constr_vals(R, D) + constr_vals(D, R), constr_vals(D, D))``
+        up to the symmetric-average algebra (identical in exact
+        arithmetic; gathers dominate the cost at ~7ns/index)."""
+        if self.diag_identity:
+            rd = jnp.sum(R * D, axis=-1)
+            dd = jnp.sum(D * D, axis=-1)
+            return 2.0 * self.diag_val * rd, self.diag_val * dd
+        if self.kind_a == "diag":
+            Rg = R[self.diag_idx]
+            Dg = D[self.diag_idx]
+            rd = self.diag_val * jnp.sum(Rg * Dg, axis=-1)
+            dd = self.diag_val * jnp.sum(Dg * Dg, axis=-1)
+            both = self.diag_seg(jnp.stack([2.0 * rd, dd], axis=-1))
+            return both[:, 0], both[:, 1]
+        sp = self.a_sparse
+        Rr, Rc = R[sp.rows], R[sp.cols]
+        Dr, Dc = D[sp.rows], D[sp.cols]
+        e_rd = jnp.sum(Rr * Dc, axis=-1) + jnp.sum(Rc * Dr, axis=-1)
+        e_dd = jnp.sum(Dr * Dc, axis=-1)
+        both = self.a_seg(jnp.stack(
+            [sp.double_coef * e_rd, sp.double_coef * e_dd], axis=-1))
+        return both[:, 0], both[:, 1]
+
+    def cg_normal_matvec(self, fixed):
+        """Matvec ``x -> x + A*(A(sym(x fixed^T))) fixed`` for the ADMM
+        normal equations (``linSysProduct``, ``lorads_admm.c:471-486``),
+        with every fixed-side gather hoisted OUT of the CG loop.
+
+        ``fixed`` is constant across one CG solve, so its row gathers
+        (contract side) and its bucket-table gathers (adjoint side) are
+        precomputed here; each CG iteration then performs only the
+        x-row gathers and the weight gather.  Gathers dominate this
+        operator's cost (~0.36 ms per 126k-slot gather on the tunnel
+        runtime), so halving the per-iteration gather count nearly
+        halves the ADMM CG time.
+        """
+        if self.diag_identity:
+            dv = self.diag_val
+
+            def mv(x):
+                w = dv * jnp.sum(x * fixed, axis=-1)
+                return x + (dv * w)[:, None] * fixed
+
+            return mv
+        if self.kind_a == "diag":
+            idx, dv, cid = self.diag_idx, self.diag_val, self.diag_cid
+            Fg = fixed[idx]
+
+            def mv(x):
+                e = jnp.sum(x[idx] * Fg, axis=-1)
+                w = self.diag_seg(dv * e)
+                d = self.diag_row_seg(dv * w[cid])
+                return x + d[:, None] * fixed
+
+            return mv
+        sp = self.a_sparse
+        if sp is None or not sp.nnz:
+            return lambda x: x
+        spmm = sp.spmm
+        Fr, Fc = fixed[sp.rows], fixed[sp.cols]
+        Fg = [fixed[ct] for ct in spmm.col_tabs]   # (n_b, K, r) per bucket
+
+        def mv(x):
+            e = 0.5 * (jnp.sum(x[sp.rows] * Fc, axis=-1)
+                       + jnp.sum(x[sp.cols] * Fr, axis=-1))
+            w = self.a_seg(sp.double_coef * e)
+            w_ext = jnp.concatenate([w, jnp.zeros((1,), w.dtype)])
+            parts = []
+            for ct, vt, fg in zip(spmm.cid_tabs, spmm.val_tabs, Fg):
+                if ct.shape[1] == 0:
+                    parts.append(jnp.zeros((ct.shape[0], x.shape[1]),
+                                           x.dtype))
+                    continue
+                wt = w_ext[ct] * vt
+                parts.append(jnp.einsum("bk,bkr->br", wt, fg,
+                                        preferred_element_type=x.dtype))
+            cat = (parts[0] if len(parts) == 1
+                   else jnp.concatenate(parts, axis=0))
+            out = cat if spmm.identity_pos else cat[spmm.pos]
+            return x + out
+
+        return mv
+
     def obj_value(self, U, V):
         """<C, sym(UV^T)> with a compensated final reduction (the duality
         gap must resolve 1e-5 relative on million-term f32 sums; see
@@ -294,16 +360,17 @@ class ConeOps:
         return jnp.zeros_like(Y)
 
     def apply_a(self, w, Y):
-        """A*(w) @ Y — the adjoint-only half of ``apply_w``."""
-        if self.kind_a == "dense" or (
-            self.kind_c == "dense" and self.kind_a != "diag"
-        ):
-            n = self.n
-            if self.a_dense_seg is not None:
-                wv = self.a_slot_vals * w[self.a_slot_cid]
-                S = self.a_dense_seg(wv).reshape(n, n)
-                return jnp.dot(S, Y, preferred_element_type=self.dtype)
-            return jnp.zeros_like(Y)
+        """A*(w) @ Y — the adjoint-only half of ``apply_w``.
+
+        Always the sparse gather path: even when the presolve marks the
+        w_sum representation dense (the reference materializes
+        S = C + A*(w) once per gradient and calls BLAS dsymm,
+        ``lorads_sdp_conic.c:608-616``), densifying S on TPU costs a
+        full n^2 position gather PER CALL — measured 1.7 ms vs 0.23 ms
+        for the direct slot-gather SpMM on theta102 (n=500, m=37k).
+        The static objective C keeps its dense matmul separately in
+        :meth:`apply_w`/:meth:`apply_c`.
+        """
         if self.diag_identity:
             return (self.diag_val * w)[:, None] * Y
         if self.kind_a == "diag":
@@ -324,20 +391,6 @@ class ConeOps:
         """
         if include_obj is None:
             include_obj = not (isinstance(obj_coef, float) and obj_coef == 0.0)
-        if self.kind_a == "dense" or (
-            self.kind_c == "dense" and self.kind_a != "diag"
-        ):
-            n = self.n
-            if self.a_dense_seg is not None:
-                wv = self.a_slot_vals * w[self.a_slot_cid]
-                S = self.a_dense_seg(wv).reshape(n, n)
-            else:
-                S = jnp.zeros((n, n), self.dtype)
-            if include_obj:
-                # c_dense is always materialized when this path is active
-                S = S + obj_coef * self.c_dense
-            return jnp.dot(S, Y, preferred_element_type=self.dtype)
-
         out = self.apply_a(w, Y)
         if include_obj:
             if self.c_dense is not None:
@@ -358,10 +411,10 @@ class ConeOps:
         return 6 * self.a_sparse.nnz * rank
 
     def apply_flops(self, rank: int) -> int:
-        if self.kind_a == "dense" or self.kind_c == "dense":
-            return 2 * self.n * self.n * rank
         nnz_a = 0 if self.a_sparse is None else self.a_sparse.nnz
-        return 4 * (nnz_a + self.c_sparse.nnz) * rank + 2 * self.n * rank
+        obj = (2 * self.n * self.n * rank if self.c_dense is not None
+               else 4 * self.c_sparse.nnz * rank)
+        return 4 * nnz_a * rank + obj + 2 * self.n * rank
 
 
 class LPOps:
@@ -371,11 +424,11 @@ class LPOps:
         self.n_cols = lp.n_cols
         self.m = lp.m
         self.dtype = dtype
-        self.c = np.asarray(lp.c, jnp.dtype(dtype))
-        self.col = np.asarray(lp.col, np.int32)
-        self.cid = np.asarray(lp.cid, np.int32)
-        self.vals = np.asarray(lp.vals, jnp.dtype(dtype))
-        self.nrm2sq = np.asarray(lp.nrm2sq, jnp.dtype(dtype))
+        self.c = static_table(lp.c, dtype)
+        self.col = static_table(lp.col, np.int32)
+        self.cid = static_table(lp.cid, np.int32)
+        self.vals = static_table(lp.vals, dtype)
+        self.nrm2sq = static_table(lp.nrm2sq, dtype)
         self.cid_seg = EllSegSum(lp.cid, int(lp.cid.size), lp.m)
         self.col_seg = EllSegSum(lp.col, int(lp.col.size), lp.n_cols)
 

@@ -45,6 +45,34 @@ from typing import List, Optional, Tuple
 import jax.numpy as jnp
 import numpy as np
 
+# Static-table residency policy.  Closure constants can live either in
+# host memory (numpy: embedded into the executable at lowering) or on
+# the device (jnp: hoisted as hidden executable arguments).  On the
+# axon remote-TPU runtime the choice is decisive, in both directions:
+#   * device-resident (jnp) closure arrays are kept in memory space
+#     S(1) (host-side) and STREAMED into the core at every while-loop
+#     iteration that touches them — an A/B on the theta102 ADMM chunk
+#     measured 21.8 ms/iter (jnp tables) vs 0.1 ms/iter (embedded);
+#     they also forced a device->host value read at trace/lowering
+#     that nondeterministically stalled for minutes;
+#   * embedded (numpy) tables compile into the executable image and
+#     are fetched/prefetched like any other program constant — fast.
+# Policy: embed everything up to a very large cap; the cap only guards
+# against pathological executable sizes (a 2^26-element int32 table is
+# a 256 MB HLO constant) where streaming is the lesser evil.
+TAB_EMBED_MAX_ELEMS = 1 << 26
+
+
+def static_table(arr, dtype):
+    """Return ``arr`` as a host-embedded (small) or device-committed
+    (huge) static table per the policy above."""
+    arr = np.asarray(arr, jnp.dtype(dtype))
+    if arr.size <= TAB_EMBED_MAX_ELEMS:
+        return arr
+    out = jnp.asarray(arr)
+    out.block_until_ready()
+    return out
+
 
 def _bucket_layout(ids: np.ndarray, length: int, num: int):
     """Static bucketed-ELL layout for a segment reduction.
@@ -109,12 +137,8 @@ class EllSegSum:
         self.length = int(length)
         self.num = int(num)
         tables, _, pos = _bucket_layout(ids, length, num)
-        # tables stay NUMPY: as closure constants they lower from host
-        # memory; device-resident constants force a device->host read at
-        # every trace/lower (observed to stall minutes through the
-        # remote-TPU tunnel)
-        self.tables = [np.asarray(t, np.int32) for t in tables]
-        self.pos = np.asarray(pos, np.int32)
+        self.tables = [static_table(t, np.int32) for t in tables]
+        self.pos = static_table(pos, np.int32)
 
     def __call__(self, vals):
         pad_shape = (1,) + vals.shape[1:]
@@ -175,12 +199,11 @@ class EllSpMM:
         # maps to src=nnz (zero-extended weight) and col=0 (weight 0 kills it)
         slot_src_ext = np.concatenate([slot_src, [nnz]])
         slot_col_ext = np.concatenate([slot_col, [0]])
-        # static tables stay NUMPY (see EllSegSum.__init__)
-        self.src_tabs = [np.asarray(slot_src_ext[t], np.int32)
+        self.src_tabs = [static_table(slot_src_ext[t], np.int32)
                          for t in tables]
-        self.col_tabs = [np.asarray(slot_col_ext[t], np.int32)
+        self.col_tabs = [static_table(slot_col_ext[t], np.int32)
                          for t in tables]
-        self.pos = np.asarray(pos, np.int32)
+        self.pos = static_table(pos, np.int32)
         # total padded slots (for flop/bandwidth accounting)
         self.padded_slots = int(sum(t.size for t in tables))
 
@@ -188,8 +211,8 @@ class EllSpMM:
         self.val_tabs = None
         if vals is not None:
             vals_ext = np.concatenate([np.asarray(vals, np.float64), [0.0]])
-            self.val_tabs = [np.asarray(vals_ext[np.asarray(slot_src_ext)[t]],
-                                        jnp.dtype(dtype))
+            self.val_tabs = [static_table(vals_ext[np.asarray(slot_src_ext)[t]],
+                                          dtype)
                              for t in tables]
         # slot -> constraint-id tables (padding -> num_seg zero weight slot;
         # num_seg must be the TRUE segment count so the pad index always
@@ -201,7 +224,7 @@ class EllSpMM:
                             else (int(cid.max()) + 1 if cid.size else 0))
             cid_ext = np.concatenate([cid, [self.num_seg]])
             self.cid_tabs = [
-                np.asarray(cid_ext[np.asarray(slot_src_ext)[t]], np.int32)
+                static_table(cid_ext[np.asarray(slot_src_ext)[t]], np.int32)
                 for t in tables]
 
     # ------------------------------------------------------------------ #

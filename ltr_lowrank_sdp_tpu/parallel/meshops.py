@@ -350,6 +350,31 @@ class MeshConeOps:
         return self._cv(t.slot_dcoef, t.slot_rows, t.slot_cols, t.pos,
                         list(t.tabs), U, V)
 
+    def cg_normal_matvec(self, fixed):
+        """ADMM normal-operator matvec (see ``ConeOps.cg_normal_matvec``).
+        The sharded path composes the sharded constr_vals/apply_a (no
+        fixed-side hoisting yet — each is one shard_map dispatch)."""
+        if not self.sharded:
+            return self.inner.cg_normal_matvec(fixed)
+
+        def mv(x):
+            w = self.constr_vals(x, fixed)
+            return x + self.apply_a(w, fixed)
+
+        return mv
+
+    def constr_vals_pair(self, R, D):
+        """ALM line-search pair (see ``ConeOps.constr_vals_pair``): the
+        sharded path reuses the sharded constr_vals twice (each is one
+        shard_map + psum); fusing them is possible but the replicated
+        fallback covers the current sharded ALM usage."""
+        if not self.sharded:
+            return self.inner.constr_vals_pair(R, D)
+        rd = self.constr_vals(R, D)
+        dr = self.constr_vals(D, R)
+        dd = self.constr_vals(D, D)
+        return rd + dr, dd
+
     def apply_a(self, w, Y):
         if not self.sharded:
             return self.inner.apply_a(w, Y)

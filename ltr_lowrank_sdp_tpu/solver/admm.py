@@ -164,9 +164,9 @@ class ADMMPhase:
               - rho * fixed_var)
         b_lin = -M2 / rho
 
-        def matvec(x):
-            w = ops.constr_vals(x, fixed_var)
-            return x + ops.apply_a(w, fixed_var)
+        # CG-loop-invariant gathers of the fixed factor are hoisted once
+        # per cone-update (ConeOps.cg_normal_matvec)
+        matvec = ops.cg_normal_matvec(fixed_var)
 
         res = cg_solve(matvec, b_lin, update_var, cg_tol,
                        self.params.cg_max_iter, self.params.cg_restart_freq)
@@ -602,7 +602,11 @@ class ADMMPhase:
         rho = min(rho, rho_max)
         ctrl = (ctrl0 if ctrl0 is not None
                 else self.make_ctrl(rho, rho_max, iter_start))
-        step = self._chunk_j(mode, int(iter_ceiling), self.chunk, with_grams)
+        # dispatch+readback round trips cost ~25-1000 ms each through the
+        # tunnel; without per-iteration Gram payloads a 4x larger chunk
+        # amortizes them at no readback-size cost
+        CH = self.chunk if with_grams else self.chunk * 4
+        step = self._chunk_j(mode, int(iter_ceiling), CH, with_grams)
         last_f64_it = -10**9
         f64_every = 0
         # f32 plateau detector (main mode): consecutive chunks that are
@@ -610,6 +614,7 @@ class ADMMPhase:
         # precision-plateau signature — break early and let the driver's
         # f64 polish take over instead of grinding rho into oscillation
         plateau_chunks = 0
+        plateau_prev_pinf = None
         f32 = jnp.dtype(dtype) == jnp.float32
         while True:
             carry, ctrl, blob = step(carry, ctrl)
@@ -622,7 +627,7 @@ class ADMMPhase:
                 blob = np.asarray(blob)
                 fblob = None
             code, it_now, last_rho = self.parse_blob(
-                blob, info, record_cb, with_grams=with_grams)
+                blob, info, record_cb, chunk=CH, with_grams=with_grams)
             last_gap, last_pinf = info.last_gap, info.last_pinf
             if code in (CODE_NUM_ERR, CODE_BAD_ITER, CODE_CONVERGED,
                         CODE_PINF_OK, CODE_DONE, CODE_CEILING):
@@ -641,12 +646,6 @@ class ADMMPhase:
                 break
             if code == CODE_CEILING:
                 break
-            if f32 and mode == "main":
-                plateau_chunks = (plateau_chunks + 1
-                                  if last_pinf <= 1e2 * p.phase2_tol else 0)
-                if plateau_chunks >= 6:
-                    info.plateau = True
-                    break
             if (f64_check is not None
                     and last_pinf <= p.phase2_tol
                     and last_gap <= 1e4 * p.phase2_tol
@@ -666,6 +665,22 @@ class ADMMPhase:
                 # back off while the true gap is still far from tolerance
                 f64_every = self.chunk if gap64 <= 10 * p.phase2_tol \
                     else 4 * self.chunk
+            # f32 precision-plateau detector — checked AFTER the f64_check
+            # block (so a still-certifiable chunk is never cut off) and
+            # only counting chunks whose pinf stopped improving: a
+            # near-feasible iterate that keeps descending is converging,
+            # not plateaued (advisor finding r3; large-n solves were
+            # being diverted into ~10x-cost emulated-f64 ADMM mid-descent)
+            if f32 and mode == "main":
+                near = last_pinf <= 1e2 * p.phase2_tol
+                non_improving = (plateau_prev_pinf is not None
+                                 and last_pinf >= 0.98 * plateau_prev_pinf)
+                plateau_chunks = (plateau_chunks + 1
+                                  if (near and non_improving) else 0)
+                plateau_prev_pinf = last_pinf
+                if plateau_chunks >= max(2, (6 * 25) // CH):
+                    info.plateau = True
+                    break
             if time.time() - time_start >= p.time_sec_limit:
                 info.time_limit = True
                 break

@@ -105,6 +105,9 @@ class OuterCtrl(NamedTuple):
     budget_start: jnp.ndarray      # inner_total at dispatch entry
     best_pinf_inf: jnp.ndarray     # f32-floor detector: best l_inf so far
     p1_stall: jnp.ndarray          # i32: consecutive outers with <5% gain
+    min_k: jnp.ndarray             # i32: no phase-1 exit before outer k
+                                   # (forces real re-optimization after a
+                                   # binding-rank escalation)
 
 
 class PassStats(NamedTuple):
@@ -138,11 +141,13 @@ class ALMOuterInfo:
     pinf_inf: Optional[float] = None
     gap: Optional[float] = None
     rho: Optional[float] = None
+    grams: Optional[list] = None    # R^T R per cone at the last stats row
 
 
 def make_outer_ctrl(params: SolverParams, outer_iter: int,
                     last_outer_start: int, rho_update_factor: float,
-                    inner_total: int = 0, dtype=jnp.float64) -> OuterCtrl:
+                    inner_total: int = 0, dtype=jnp.float64,
+                    min_k: int = 0) -> OuterCtrl:
     # numpy scalars: passed as jit ARGUMENTS they cost one host->device
     # transfer; jnp.asarray would instead bake each distinct VALUE into a
     # fresh one-op XLA program (a ~0.4s compile per new rho through the
@@ -159,7 +164,7 @@ def make_outer_ctrl(params: SolverParams, outer_iter: int,
         rho_update_factor=f(rho_update_factor), rho_factor_flag=i32(0),
         inner_total=i32(inner_total), code=i32(CODE_CONTINUE),
         resuming=i32(0), budget_start=i32(inner_total),
-        best_pinf_inf=f(jnp.inf), p1_stall=i32(0),
+        best_pinf_inf=f(jnp.inf), p1_stall=i32(0), min_k=i32(min_k),
     )
 
 
@@ -272,7 +277,7 @@ class ALMPhase:
     # ---------------- inner descent loop (one sub-loop pass) ----------- #
 
     def _inner_pass(self, carry: ALMCarry, early_variant: bool,
-                    p1_floor=False):
+                    p1_floor=False, allow_early=True):
         p = self.params
         dtype = self.b.dtype
         st0 = (
@@ -319,18 +324,18 @@ class ALMPhase:
             if self.has_lp:
                 oRD = oRD + self.lp.obj_value(c.rlp, dlp)
                 oDD = oDD + self.lp.obj_value(dlp, dlp)
-                cRD = self.lp.constr_vals(c.rlp, dlp)
-                cDD = self.lp.constr_vals(dlp, dlp)
+                q1 = 2.0 * self.lp.constr_vals(c.rlp, dlp)
+                q2 = self.lp.constr_vals(dlp, dlp)
             else:
-                cRD = jnp.zeros_like(self.b)
-                cDD = jnp.zeros_like(self.b)
+                q1 = jnp.zeros_like(self.b)
+                q2 = jnp.zeros_like(self.b)
             for ops, r, d in zip(self.cones, c.R, D):
-                cRD = cRD + ops.constr_vals(r, d)
-                cDD = cDD + ops.constr_vals(d, d)
+                # fused pair: shared R/D gathers + one batched segment sum
+                rd2, dd = ops.constr_vals_pair(r, d)
+                q1 = q1 + rd2
+                q2 = q2 + dd
             p1 = 2.0 * oRD * c.obj_scale
-            q1 = 2.0 * cRD
             p2 = oDD * c.obj_scale
-            q2 = cDD
 
             tau, root_num = quartic_linesearch(
                 c.rho, c.dual, p1, p2, q0, q1, q2, tau_max=d_nrm)
@@ -395,7 +400,8 @@ class ALMPhase:
                 early = ((pinf_inf <= p.phase1_tol)
                          | (self._p1_guard & p1_floor
                             & (pinf <= p.phase2_tol))) & (
-                    (c.gap <= p.phase1_tol) | (not p.high_acc_mode))
+                    (c.gap <= p.phase1_tol) | (not p.high_acc_mode)
+                ) & allow_early
             else:
                 early = jnp.asarray(False)
             early = early & do_update
@@ -536,8 +542,9 @@ class ALMPhase:
 
         def run_inner(args):
             carry, ctrl = args
-            carry, stats = self._inner_pass(carry, early_variant,
-                                            p1_floor=ctrl.p1_stall >= 3)
+            carry, stats = self._inner_pass(
+                carry, early_variant, p1_floor=ctrl.p1_stall >= 3,
+                allow_early=ctrl.k >= ctrl.min_k)
             local = stats.local_iter
             ctrl = ctrl._replace(
                 cur_iter_counter=ctrl.cur_iter_counter + local,
@@ -660,7 +667,8 @@ class ALMPhase:
                     conv = ((carry.pinf_inf <= p.phase1_tol)
                             | (self._p1_guard & (ctrl.p1_stall >= 3)
                                & (carry.pinf_l1 <= p.phase2_tol))) & (
-                        (carry.gap <= p.phase1_tol) | (not p.high_acc_mode))
+                        (carry.gap <= p.phase1_tol) | (not p.high_acc_mode)
+                    ) & (ctrl.k >= ctrl.min_k)
                     conv = conv | (
                         (carry.gap <= p.phase1_tol * 1e-3)
                         & (carry.pinf_l1 <= p.phase1_tol * 1e-3))
@@ -777,14 +785,16 @@ class ALMPhase:
             info.pobj, info.dobj = float(row[4]), float(row[5])
             info.pinf_l1, info.pinf_inf = float(row[6]), float(row[7])
             info.gap, info.rho = float(row[8]), float(row[9])
-            if record_cb is not None and code in (CODE_CONTINUE,
-                                                  CODE_CONVERGED):
+            want_grams = (record_cb is not None or j == n_done - 1)
+            if want_grams and code in (CODE_CONTINUE, CODE_CONVERGED):
                 grams = []
                 off = 10
                 for r in gram_sizes:
                     grams.append(row[off: off + r * r].reshape(r, r))
                     off += r * r
-                record_cb(row, info.outer_iter, info.inner_iter, grams)
+                info.grams = grams
+                if record_cb is not None:
+                    record_cb(row, info.outer_iter, info.inner_iter, grams)
         return code
 
     def run(

@@ -33,6 +33,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import OracleRankMethod, SolverParams, SolverStatus
+from ..ops.gatherseg import static_table
 from ..ops.coneops import build_cone_ops_internal
 from ..ops.lanczos import lanczos_tridiag, tridiag_min_eig_resid
 from ..problem import SDPProblem
@@ -50,6 +51,17 @@ def _fetch(*xs) -> List[float]:
     """Batch scalar device->host reads into a single transfer."""
     vals = np.asarray(jnp.stack([jnp.asarray(x) for x in xs]))
     return [float(v) for v in vals]
+
+
+def _gram_num_rank(gram: np.ndarray, eps: float = 1e-6) -> int:
+    """Numerical rank of an r x r Gram: #eigenvalues > eps * lambda_max
+    (the oracle-rank rule, ``count_significant_from_matrix``,
+    ``lorads_logging.c:272-366``)."""
+    w = np.linalg.eigvalsh(np.asarray(gram, np.float64))
+    mx = float(w[-1]) if w.size else 0.0
+    if mx <= 0.0:
+        return 0
+    return int(np.sum(w > eps * mx))
 
 
 @dataclasses.dataclass
@@ -148,10 +160,9 @@ class Solver:
         b_np = np.asarray(prob.b)
         if self.constr_order is not None:
             b_np = b_np[self.constr_order]
-        # numpy: as a closure constant it lowers from host memory (a
-        # device-resident b forces a device->host read at every
-        # trace/lower — an observed multi-minute stall on the tunnel)
-        self.b = np.asarray(b_np, jnp.dtype(dtype))
+        # static_table: small b embeds into the HLO, large b is
+        # device-committed (see ops/gatherseg.py residency policy)
+        self.b = static_table(b_np, dtype)
         self._phase_cache: Dict[Tuple[int, ...], Tuple[ALMPhase, ADMMPhase]] = {}
 
     def _place_factors(self, R):
@@ -626,6 +637,7 @@ class Solver:
             alm_outer = info.outer_iter
             if code == alm_mod.CODE_MAXITER:
                 info.rank_flag = 0
+
             run_admm_f, skip_conv_f, rho_max_f, admm_rho0_f, _ = (
                 float(v) for v in flags_h)
             rho_max_cur = rho_max_f
