@@ -57,7 +57,7 @@ SUITE = [
     ("amazon0302", f"{DATA}/Max_cut_matrix_files/amazon0302.mat", 47.7,
      dict(phase1_tol=1e+1, heuristic_factor=100.0)),
     ("checker_1.5", f"{DATA}/General_SDP/checker_1.5.dat-s", 4.8, {}),
-    ("theta12", f"{DATA}/General_SDP/theta12.dat-s", 125.0, {}),
+    ("ice_2.0", f"{DATA}/General_SDP/ice_2.0.dat-s", 8.0, {}),
     ("shmup4", f"{DATA}/General_SDP/shmup4.dat-s", 117.0, {}),
     ("G13", f"{DATA}/Max_cut_SDP/G13.dat-s", 0.1,
      dict(phase1_tol=1e-2, heuristic_factor=10.0)),

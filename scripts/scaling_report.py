@@ -1,0 +1,153 @@
+"""Constraint-sharding scaling report on a virtual CPU mesh.
+
+Multi-chip hardware is not available in this environment (one real TPU
+chip through a tunnel), so the BASELINE-required scaling table is
+produced the same way the driver validates the multi-chip path: an
+N-device virtual CPU mesh (``--xla_force_host_platform_device_count``)
+running the PRODUCTION constraint-sharded solver (``Solver(mesh=...)``,
+``parallel/meshops.py`` shard_map + psum operators).
+
+Per device count the script re-execs itself in a fresh process (the
+device count is fixed at backend init), times a fixed block of fused ALM
+outer segments on a mid-size MaxCut instance, and reports ALM inner
+iterations/second.  Absolute numbers are CPU-host numbers; the point of
+the artifact is the SCALING SHAPE of the sharded operators (psum +
+shard-local gathers) as the mesh grows.
+
+Usage:  python scripts/scaling_report.py [--out scaling.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+REPO = os.path.dirname(HERE)
+
+
+def measure(n_devices: int) -> dict:
+    import jax
+    # the axon sitecustomize prepends its TPU backend regardless of
+    # JAX_PLATFORMS; force the virtual CPU mesh before first backend use
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ltr_lowrank_sdp_tpu.config import SolverParams
+    from ltr_lowrank_sdp_tpu.parallel.mesh import make_mesh
+    from ltr_lowrank_sdp_tpu.solver.driver import Solver
+    from ltr_lowrank_sdp_tpu.solver.alm import make_outer_ctrl, make_alm_carry
+    from ltr_lowrank_sdp_tpu.solver.rank import make_rank_state
+    from ltr_lowrank_sdp_tpu.solver.common import init_factors
+    from ltr_lowrank_sdp_tpu.testing import random_maxcut_problem
+
+    mesh = make_mesh(n_devices) if n_devices > 1 else None
+    prob = random_maxcut_problem(16384, avg_degree=16, seed=7)
+    params = SolverParams(dtype="float64", disable_oracle=True,
+                          fixed_rank=16)
+    sv = Solver(prob, params, mesh=mesh) if mesh is not None else \
+        Solver(prob, params)
+    rs = make_rank_state(prob, params)
+    R, rlp = init_factors(rs.ranks, prob.block_dims, prob.n_lp_cols,
+                          jax.random.PRNGKey(params.seed), sv.dtype)
+    R = sv._place_factors(R)
+    alm, _ = sv.phases(rs.ranks)
+    carry = make_alm_carry(R, rlp, prob.m, alm.n_elems,
+                           1.0 / np.sqrt(sum(prob.block_dims)), params,
+                           sv.dtype)
+    carry = alm.prepare(carry)
+    ctrl = make_outer_ctrl(params, 1, 1, params.alm_rho_factor,
+                           dtype=sv.dtype)
+    step = alm._phase_step_j("main", False, True, 1e9,
+                             int(params.max_alm_iter))
+    # warm-up: compile + run the whole phase once
+    c, ct = carry, ctrl
+    while True:
+        c, ct, n, buf = step(c, ct)
+        jax.block_until_ready(buf)
+        if int(jax.device_get(ct.code)) != 0:
+            break
+    # measurement: fresh carry, accumulate segments until done
+    c, ct = carry, ctrl
+    inner0 = 0
+    t0 = time.time()
+    while True:
+        c, ct, n, buf = step(c, ct)
+        jax.block_until_ready(buf)
+        if int(jax.device_get(ct.code)) != 0:
+            break
+    dt = max(time.time() - t0, 1e-9)
+    inner = int(jax.device_get(ct.inner_total)) - inner0
+    return {
+        "devices": n_devices,
+        "inner_iters": inner,
+        "seconds": round(dt, 4),
+        "alm_inner_iters_per_sec": round(inner / dt, 2),
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default=os.path.join(REPO, "scaling.json"))
+    ap.add_argument("--devices", default="1,2,4,8")
+    ap.add_argument("--_measure", type=int, default=None)
+    args = ap.parse_args()
+
+    if args._measure is not None:
+        print("SCALING_ROW " + json.dumps(measure(args._measure)),
+              flush=True)
+        return 0
+
+    rows = []
+    for d in (int(x) for x in args.devices.split(",")):
+        env = dict(os.environ)
+        env["JAX_PLATFORMS"] = "cpu"
+        env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+        env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
+                            + f" --xla_force_host_platform_device_count={d}"
+                            ).strip()
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__),
+             "--_measure", str(d)],
+            capture_output=True, text=True, timeout=1800, env=env,
+            cwd=REPO)
+        for line in out.stdout.splitlines():
+            if line.startswith("SCALING_ROW "):
+                rows.append(json.loads(line[len("SCALING_ROW "):]))
+                print(rows[-1], flush=True)
+                break
+        else:
+            print(f"devices={d}: no row ({out.stderr.strip()[-200:]})",
+                  flush=True)
+
+    base = next((r for r in rows
+                 if r["devices"] == 1
+                 and r["alm_inner_iters_per_sec"] > 0), None)
+    for r in rows:
+        if base:
+            r["speedup_vs_1dev"] = round(
+                r["alm_inner_iters_per_sec"]
+                / base["alm_inner_iters_per_sec"], 3)
+    payload = {
+        "what": "ALM inner iterations/second of the production "
+                "constraint-sharded solver on an N-device virtual CPU "
+                "mesh (random MaxCut n=16384, deg 16, rank 16, f64)",
+        "note": "CPU-host absolute numbers; the artifact documents the "
+                "scaling shape of the shard_map+psum operators "
+                "(parallel/meshops.py). Real multi-chip hardware is not "
+                "available in this environment.",
+        "rows": rows,
+    }
+    with open(args.out, "w") as f:
+        json.dump(payload, f, indent=1)
+    print("wrote", args.out)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
