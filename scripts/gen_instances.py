@@ -58,6 +58,40 @@ def gen_maxcut(n: int, avg_degree: int, seed: int, out: str):
     write_sdpa(out, [n], np.ones(n), entries)
 
 
+def gen_theta(n: int, avg_degree: int, seed: int, out: str):
+    """Lovász theta SDP of a random G(n, avg_degree) graph.
+
+    max <J, X>  s.t.  tr X = 1,  X_ij = 0 for (i,j) in E,  X >= 0 —
+    the theta102/theta12 family shape (one dense-coupled trace
+    constraint + one sparse equality per edge; cf.
+    ``lorads/README.md:260-261``).  SDPA convention: F0 is maximized.
+    """
+    rng = np.random.default_rng(seed)
+    m_edges = n * avg_degree // 2
+    u = rng.integers(0, n, size=m_edges)
+    v = rng.integers(0, n, size=m_edges)
+    keep = u != v
+    u, v = u[keep], v[keep]
+    lo, hi = np.minimum(u, v), np.maximum(u, v)
+    uniq = np.unique(lo.astype(np.int64) * n + hi)
+    lo, hi = (uniq // n).astype(int), (uniq % n).astype(int)
+
+    entries = []
+    # objective J (all-ones): upper triangle incl. diagonal
+    for i in range(n):
+        for j in range(i, n):
+            entries.append((0, 1, i + 1, j + 1, 1.0))
+    # constraint 1: trace(X) = 1
+    for i in range(n):
+        entries.append((1, 1, i + 1, i + 1, 1.0))
+    # constraints 2..: X_ij = 0 per edge
+    b = [1.0]
+    for k, (a, bb) in enumerate(zip(lo, hi)):
+        entries.append((k + 2, 1, int(a) + 1, int(bb) + 1, 1.0))
+        b.append(0.0)
+    write_sdpa(out, [n], np.asarray(b), entries)
+
+
 def gen_matcomp(n1: int, n2: int, rank: int, sample_factor: float, seed: int,
                 out: str):
     rng = np.random.default_rng(seed)
@@ -90,6 +124,12 @@ def main(argv=None):
     mc.add_argument("--avg-degree", type=int, default=6)
     mc.add_argument("--seed", type=int, default=0)
     mc.add_argument("--out", required=True)
+    th = sub.add_parser("theta")
+    th.add_argument("--n", type=int, default=120)
+    th.add_argument("--avg-degree", type=int, default=40)
+    th.add_argument("--seed", type=int, default=0)
+    th.add_argument("--out", required=True)
+
     mp = sub.add_parser("matcomp")
     mp.add_argument("--n1", type=int, default=500)
     mp.add_argument("--n2", type=int, default=500)
@@ -101,6 +141,8 @@ def main(argv=None):
     os.makedirs(os.path.dirname(os.path.abspath(args.out)), exist_ok=True)
     if args.cmd == "maxcut":
         gen_maxcut(args.n, args.avg_degree, args.seed, args.out)
+    elif args.cmd == "theta":
+        gen_theta(args.n, args.avg_degree, args.seed, args.out)
     else:
         gen_matcomp(args.n1, args.n2, args.rank, args.sample_factor,
                     args.seed, args.out)
