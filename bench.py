@@ -58,6 +58,8 @@ SUITE = [
      dict(phase1_tol=1e+1, heuristic_factor=100.0)),
     ("checker_1.5", f"{DATA}/General_SDP/checker_1.5.dat-s", 4.8, {}),
     ("ice_2.0", f"{DATA}/General_SDP/ice_2.0.dat-s", 8.0, {}),
+    ("p_auss2_3.0", f"{DATA}/General_SDP/p_auss2_3.0.dat-s", 5.6, {}),
+    ("cphil12", f"{DATA}/General_SDP/cphil12.dat-s", 2.0, {}),
     ("shmup4", f"{DATA}/General_SDP/shmup4.dat-s", 117.0, {}),
     ("G13", f"{DATA}/Max_cut_SDP/G13.dat-s", 0.1,
      dict(phase1_tol=1e-2, heuristic_factor=10.0)),
@@ -116,7 +118,9 @@ def _sched_for(name: str):
     try:
         with open(path) as f:
             payload = json.load(f)
-        sched = payload["rank_schedule"]
+        # benchmark.py writes "rank_schedule"; infer.py --output writes
+        # "schedule" — both are legitimate provenance, accept either
+        sched = payload.get("rank_schedule", payload.get("schedule"))
         length = int(payload.get("schedule_length", len(sched)))
         return [int(r) for r in sched[:length]]
     except Exception:
@@ -362,7 +366,12 @@ def main():
             continue
         remaining = budget - (time.time() - t_start)
         have_cache = name in bench.cached
-        if remaining < (60 if not have_cache else 180):
+        cached_warm = (bench.cached.get(name, {}).get("warm_sec", 1e9)
+                       if have_cache else 1e9)
+        # cheap rows (warm < ~1s; compile persistently cached) are always
+        # worth re-measuring live — cache-filling them reads as laziness
+        need = 60 if (not have_cache or cached_warm < 1.0) else 180
+        if remaining < need:
             bench.add({"name": name, "skipped": "time budget"})
             continue
         row, why = run_sub(["--one", name],

@@ -47,7 +47,7 @@ def measure(n_devices: int) -> dict:
     from ltr_lowrank_sdp_tpu.testing import random_maxcut_problem
 
     mesh = make_mesh(n_devices) if n_devices > 1 else None
-    prob = random_maxcut_problem(16384, avg_degree=16, seed=7)
+    prob = random_maxcut_problem(8192, avg_degree=16, seed=7)
     params = SolverParams(dtype="float64", disable_oracle=True,
                           fixed_rank=16)
     sv = Solver(prob, params, mesh=mesh) if mesh is not None else \
@@ -65,22 +65,20 @@ def measure(n_devices: int) -> dict:
                            dtype=sv.dtype)
     step = alm._phase_step_j("main", False, True, 1e9,
                              int(params.max_alm_iter))
-    # warm-up: compile + run the whole phase once
+    # time a FIXED number of fused dispatches (converging to the final
+    # tolerance is not the point, and takes unbounded host time on an
+    # oversubscribed CPU host) — one warm-up dispatch pays compilation
+    n_dispatch = 3
     c, ct = carry, ctrl
-    while True:
-        c, ct, n, buf = step(c, ct)
-        jax.block_until_ready(buf)
-        if int(jax.device_get(ct.code)) != 0:
-            break
-    # measurement: fresh carry, accumulate segments until done
-    c, ct = carry, ctrl
-    inner0 = 0
+    c, ct, n, buf = step(c, ct)
+    jax.block_until_ready(buf)
+    inner0 = int(jax.device_get(ct.inner_total))
     t0 = time.time()
-    while True:
-        c, ct, n, buf = step(c, ct)
-        jax.block_until_ready(buf)
+    for _ in range(n_dispatch):
         if int(jax.device_get(ct.code)) != 0:
             break
+        c, ct, n, buf = step(c, ct)
+        jax.block_until_ready(buf)
     dt = max(time.time() - t0, 1e-9)
     inner = int(jax.device_get(ct.inner_total)) - inner0
     return {
@@ -143,6 +141,11 @@ def main():
                 "available in this environment.",
         "rows": rows,
     }
+    if not rows:
+        print("ERROR: no scaling rows measured — refusing to write an "
+              "empty artifact", file=sys.stderr)
+        return 1
+    payload["host_cpus"] = os.cpu_count()
     with open(args.out, "w") as f:
         json.dump(payload, f, indent=1)
     print("wrote", args.out)
