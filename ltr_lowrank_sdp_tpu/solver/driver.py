@@ -90,6 +90,9 @@ class SolveResult:
     ulp: Optional[object] = None
     vlp: Optional[object] = None
     dual: Optional[object] = None
+    # internal objective scaling at exit (scaleObjHis): the returned dual
+    # is in SCALED units; slack diagnostics need S = obj_scale*C - A*(dual)
+    obj_scale: float = 1.0
 
     @property
     def errors_ok(self) -> bool:
@@ -129,6 +132,19 @@ class Solver:
         self.params = params or SolverParams()
         self.mesh = mesh
         self.mesh_axis = mesh_axis
+        # Pure-feasibility problems (C = 0 everywhere, e.g. cphil12):
+        # λ = 0 is an EXACT optimal dual — S = C - A*(0) = 0 ⪰ 0 and
+        # dobj = 0 = <C, X> = pobj — so the solve reduces to primal
+        # feasibility.  Tighten phase 1 to the l1-equivalent of the final
+        # bar so the ALM phase alone can finish; solve() installs the zero
+        # dual and the gap-driven stages reduce to pure pinf checks.  No
+        # reference equivalent: LoRADS grinds its general dual-ascent path
+        # here (cphil12: 2.0s CPU, ``lorads/README.md:242``).
+        self.feas_only = float(prob.c_nrm1) == 0.0
+        if self.feas_only:
+            p0 = self.params
+            p1 = p0.phase2_tol * (1.0 + prob.b_nrminf) / (1.0 + prob.b_nrm1)
+            self.params = p0.replace(phase1_tol=min(p0.phase1_tol, p1))
         dt = self.params.dtype
         if dt == "auto":
             # float64 is emulated (slow) on TPU; float32 compute reaches the
@@ -267,8 +283,13 @@ class Solver:
         rho_max_new = jnp.where(go_admm & over, admm_rho0, rho_max_in)
         admm_rho0 = jnp.minimum(admm_rho0, rho_max_new)
 
-        entry_done = (carry.gap <= p.phase2_tol) & (
-            carry.pinf_l1 <= p.phase2_tol)
+        if self.feas_only:
+            # C = 0: the gap is an artifact of the internal ALM dual (the
+            # reported dual will be the exact λ = 0) — only pinf binds
+            entry_done = carry.pinf_l1 <= p.phase2_tol
+        else:
+            entry_done = (carry.gap <= p.phase2_tol) & (
+                carry.pinf_l1 <= p.phase2_tol)
         run_admm = go_admm & ~entry_done
 
         def mk_carry() -> ADMMCarry:
@@ -718,6 +739,20 @@ class Solver:
             alm_gap_h, alm_pinf_h = info.gap, info.pinf_l1
         mark("fused_main")
 
+        # =============== pure-feasibility certificate =================== #
+        if self.feas_only and not num_err:
+            # install the exact optimal dual λ = 0 (see __init__): pobj is
+            # exactly 0 (C has no entries), so dobj = gap = 0 and the
+            # certification below measures dinf of the ZERO dual (= 0).
+            # The reopt loops then run only while pinf > tol.
+            zero = jnp.zeros_like(admm_carry.gap)
+            admm_carry = admm_carry._replace(
+                dual=jnp.zeros_like(admm_carry.dual),
+                pobj=zero, dobj=zero, gap=zero)
+            admm_pobj_h = admm_dobj_h = admm_gap_h = 0.0
+            alm_gap_h = 0.0
+            dinf_parsed = None      # stale: was computed for the ALM dual
+
         # =============== f64 polish ===================================== #
         # The f32 ADMM fixed point is accuracy-bounded by its f32 CG
         # residuals (~1e-5 relative): on skewed instances (shmup4) pinf_l1
@@ -934,6 +969,16 @@ class Solver:
 
         mark("reopt1")
 
+        if self.feas_only and not num_err:
+            # a reopt round may have re-evolved the internal dual;
+            # re-install the exact λ = 0 certificate before certification
+            zero = jnp.zeros_like(admm_carry.gap)
+            admm_carry = admm_carry._replace(
+                dual=jnp.zeros_like(admm_carry.dual),
+                pobj=zero, dobj=zero, gap=zero)
+            admm_pobj_h = admm_dobj_h = admm_gap_h = 0.0
+            dinf_parsed = None
+
         # dual infeasibility certification (already computed inside the
         # fused dispatch when the main pass ended there)
         scale_now = obj_scale_h
@@ -1067,7 +1112,8 @@ class Solver:
             alm_inner_iters=alm_inner_total, admm_iters=admm_it,
             cg_iters=cg_total, final_ranks=list(rank_state.ranks),
             oracle_rank=oracle, logger=logger, stage_times=stages,
-            U=U_h, V=V_h, ulp=ulp_h, vlp=vlp_h, dual=dual_h)
+            U=U_h, V=V_h, ulp=ulp_h, vlp=vlp_h, dual=dual_h,
+            obj_scale=obj_scale_h)
 
 
 def solve(
