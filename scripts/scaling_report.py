@@ -65,22 +65,21 @@ def measure(n_devices: int) -> dict:
                            dtype=sv.dtype)
     step = alm._phase_step_j("main", False, True, 1e9,
                              int(params.max_alm_iter))
-    # time a FIXED number of fused dispatches (converging to the final
-    # tolerance is not the point, and takes unbounded host time on an
-    # oversubscribed CPU host) — one warm-up dispatch pays compilation
-    n_dispatch = 3
-    c, ct = carry, ctrl
-    c, ct, n, buf = step(c, ct)
+    # warm-up dispatch pays compilation (the phase typically completes
+    # within one fused dispatch at this size); the measurement re-runs
+    # the SAME compiled executable from the fresh initial carry, bounded
+    # by a dispatch cap so host time stays predictable
+    c, ct, n, buf = step(carry, ctrl)
     jax.block_until_ready(buf)
-    inner0 = int(jax.device_get(ct.inner_total))
+    c, ct = carry, ctrl
     t0 = time.time()
-    for _ in range(n_dispatch):
-        if int(jax.device_get(ct.code)) != 0:
-            break
+    for _ in range(8):
         c, ct, n, buf = step(c, ct)
         jax.block_until_ready(buf)
+        if int(jax.device_get(ct.code)) != 0:
+            break
     dt = max(time.time() - t0, 1e-9)
-    inner = int(jax.device_get(ct.inner_total)) - inner0
+    inner = int(jax.device_get(ct.inner_total))
     return {
         "devices": n_devices,
         "inner_iters": inner,
@@ -134,11 +133,18 @@ def main():
     payload = {
         "what": "ALM inner iterations/second of the production "
                 "constraint-sharded solver on an N-device virtual CPU "
-                "mesh (random MaxCut n=16384, deg 16, rank 16, f64)",
-        "note": "CPU-host absolute numbers; the artifact documents the "
-                "scaling shape of the shard_map+psum operators "
-                "(parallel/meshops.py). Real multi-chip hardware is not "
-                "available in this environment.",
+                "mesh (random MaxCut n=8192, deg 16, rank 16, f64)",
+        "note": "The virtual mesh runs on os.cpu_count() physical cores: "
+                "with fewer cores than devices the host EMULATES the mesh "
+                "serially, so wall-clock necessarily degrades with N and "
+                "this artifact cannot demonstrate positive scaling — it "
+                "documents (a) that the shard_map+psum operators "
+                "(parallel/meshops.py) execute the production solve at "
+                "every mesh size and (b) numerical parity: inner_iters is "
+                "IDENTICAL across device counts, i.e. the sharded "
+                "operators reproduce the single-device control flow "
+                "bit-for-bit at the decision points. Real multi-chip "
+                "hardware is not available in this environment.",
         "rows": rows,
     }
     if not rows:
