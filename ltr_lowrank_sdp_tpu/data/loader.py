@@ -172,11 +172,19 @@ def _round_up(x: int, mult: int) -> int:
 
 
 def collate(samples: List[GraphSample], node_mult: int = 256,
-            edge_mult: int = 512) -> GraphBatch:
+            edge_mult: int = 512,
+            pad_graphs_to: Optional[int] = None) -> GraphBatch:
     """Concatenate graphs; pad node/edge envelopes to bucketed sizes so jit
     recompiles rarely.  Padding nodes/edges point at a dead graph slot
-    (id = num_graphs) and a dead node so they never contribute."""
+    (id = num_graphs) and a dead node so they never contribute.
+
+    ``pad_graphs_to``: pad the GRAPH axis (global_attr/schedule/mask/
+    length) to a fixed batch size too — num_graphs is a static jit
+    argument, so without this every distinct batch composition under the
+    size-budgeted iterator would be a fresh XLA compile.  Padded graph
+    rows have mask 0 (no loss contribution) and own no nodes."""
     B = len(samples)
+    B_out = max(B, pad_graphs_to or B)
     n_total = sum(s.x.shape[0] for s in samples)
     e_total = sum(s.edge_index.shape[1] for s in samples)
     # power-of-two envelopes (floored at node_mult/edge_mult): shuffled
@@ -191,12 +199,12 @@ def collate(samples: List[GraphSample], node_mult: int = 256,
     x = np.zeros((n_pad, samples[0].x.shape[1]), np.float32)
     ei = np.full((2, e_pad), n_pad - 1, np.int64)   # dead node
     ea = np.zeros((e_pad, samples[0].edge_attr.shape[1]), np.float32)
-    batch = np.full((n_pad,), B, np.int64)          # dead graph id
-    g = np.zeros((B, samples[0].global_attr.shape[0]), np.float32)
+    batch = np.full((n_pad,), B_out, np.int64)      # dead graph id
+    g = np.zeros((B_out, samples[0].global_attr.shape[0]), np.float32)
     T = samples[0].schedule.shape[0]
-    sched = np.zeros((B, T), np.float32)
-    mask = np.zeros((B, T), np.float32)
-    length = np.zeros((B,), np.int64)
+    sched = np.zeros((B_out, T), np.float32)
+    mask = np.zeros((B_out, T), np.float32)
+    length = np.zeros((B_out,), np.int64)
 
     n_off = 0
     e_off = 0
@@ -218,7 +226,8 @@ def collate(samples: List[GraphSample], node_mult: int = 256,
         e_off += ne
     return GraphBatch(
         x=x, edge_index=ei, edge_attr=ea, batch=batch, global_attr=g,
-        schedule=sched, mask=mask, length=length, num_graphs=B, names=names,
+        schedule=sched, mask=mask, length=length, num_graphs=B_out,
+        names=names,
     )
 
 
@@ -259,18 +268,35 @@ def create_splits(
 
 
 def iterate_batches(ds: SDPDataset, indices: Sequence[int], batch_size: int,
-                    shuffle: bool = False, seed: int = 0):
+                    shuffle: bool = False, seed: int = 0,
+                    edge_budget: int = 1_500_000,
+                    node_budget: int = 120_000):
+    """Yield collated batches, capped by count AND size budgets.
+
+    The MatComp graphs are huge (MC_600x600_r5: 85k nodes / 2.5M edges)
+    — a count-only batch of 16 mixed graphs reached a 2^23-edge padded
+    envelope whose training step needed 16.5G HBM.  A batch flushes
+    before adding a sample that would push it past ``edge_budget`` /
+    ``node_budget``; an oversized sample still forms its own singleton
+    batch."""
     order = list(indices)
     if shuffle:
         random.Random(seed).shuffle(order)
     buf: List[GraphSample] = []
+    n_tot = e_tot = 0
     for i in order:
         s = ds.get(i)
         if s is None:
             continue
+        ni, ei = s.x.shape[0], s.edge_index.shape[1]
+        if buf and (n_tot + ni > node_budget or e_tot + ei > edge_budget):
+            yield collate(buf, pad_graphs_to=batch_size)
+            buf, n_tot, e_tot = [], 0, 0
         buf.append(s)
+        n_tot += ni
+        e_tot += ei
         if len(buf) == batch_size:
-            yield collate(buf)
-            buf = []
+            yield collate(buf, pad_graphs_to=batch_size)
+            buf, n_tot, e_tot = [], 0, 0
     if buf:
-        yield collate(buf)
+        yield collate(buf, pad_graphs_to=batch_size)

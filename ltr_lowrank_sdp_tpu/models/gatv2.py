@@ -42,7 +42,7 @@ class GATv2Conv(nn.Module):
     add_self_loops: bool = True
 
     @nn.compact
-    def __call__(self, x, edge_index, edge_attr=None, *, deterministic=True):
+    def __call__(self, x, edge_index, edge_attr=None, deterministic=True):
         n = x.shape[0]
         H, Cd = self.heads, self.out_channels
 

@@ -66,14 +66,20 @@ class GNNEncoder(nn.Module):
         g = GlobalEncoder(cfg.global_dim, cfg.dropout, cfg.norm_type)(
             global_attr, deterministic=deterministic)
 
+        # rematerialize each GAT layer in the backward pass: per-EDGE
+        # activations dominate training memory (MC_600x600_r5 alone is
+        # 2.5M edges -> the un-rematted 16-graph batch needed 16.5G HBM
+        # and OOM'd the 15.75G chip); recomputing them costs one extra
+        # forward per layer and caps live memory at ~one layer's edges
+        RematGAT = nn.remat(GATv2Conv, static_argnums=(4,))
         for _ in range(cfg.num_gnn_layers):
             x_res = x
-            x = GATv2Conv(
+            x = RematGAT(
                 out_channels=cfg.hidden_dim // cfg.num_heads,
                 heads=cfg.num_heads,
                 edge_dim=cfg.edge_dim,
                 dropout=cfg.dropout,
-            )(x, edge_index, e, deterministic=deterministic)
+            )(x, edge_index, e, deterministic)
             x = nn.LayerNorm()(x)
             x = nn.leaky_relu(x, negative_slope=0.2)
             x = nn.Dropout(rate=cfg.dropout)(x, deterministic=deterministic)
