@@ -72,8 +72,13 @@ class GATv2Conv(nn.Module):
             msg = msg + we.reshape(-1, H, Cd)
 
         act = nn.leaky_relu(msg, negative_slope=self.negative_slope)
+        # explicit f32: a bare self.param defaults to float64 under
+        # jax_enable_x64 (the solver package enables it), which would
+        # promote every downstream activation and break the decoder's
+        # scan carry dtype invariance
         att = self.param(
-            "att", nn.initializers.glorot_uniform(), (1, H, Cd)
+            "att", nn.initializers.glorot_uniform(), (1, H, Cd),
+            jnp.float32,
         )
         scores = jnp.sum(act * att, axis=-1)     # (E, H)
 

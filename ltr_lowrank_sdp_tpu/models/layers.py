@@ -15,6 +15,7 @@ Contract matches ``model/layers.py`` of the reference:
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Optional, Tuple
 
 import flax.linen as nn
@@ -173,58 +174,84 @@ class SequenceDecoder(nn.Module):
         y = self.init_drop(y, deterministic=deterministic)
         return nn.softplus(self.init_dense2(y)) + self.min_rank
 
+    def _step(self, carry, xs, *, context, mode, tf_ratio, deterministic):
+        """One decode step, shaped for ``nn.scan`` (16x smaller XLA
+        program than the Python-unrolled loop — the unrolled backward
+        took >15 min to compile).  ``mode`` is a trace-time constant:
+        'coin' (per-step teacher-forcing coin), 'teacher', 'free'."""
+        lstm_carry, cur = carry
+        tgt_t, coin = xs
+        emb = self.embed_rank(cur[:, None])
+        step_in = jnp.concatenate([emb, context], axis=-1)
+        lstm_carry, out = self.lstm(lstm_carry, step_in,
+                                    deterministic=deterministic)
+        rank_pred = self._rank_head(out, deterministic)
+        if mode == "coin":
+            cur = jnp.where(coin < tf_ratio, tgt_t,
+                            jax.lax.stop_gradient(rank_pred))
+        elif mode == "teacher":
+            cur = tgt_t
+        else:
+            cur = jax.lax.stop_gradient(rank_pred)
+        return (lstm_carry, cur), rank_pred
+
+    def _decode(self, context, cur0, tgt_T, coins, mode, tf_ratio,
+                deterministic):
+        """Scan the decode step over the T axis; returns preds (B, T)."""
+        step = partial(type(self)._step, context=context, mode=mode,
+                       tf_ratio=tf_ratio, deterministic=deterministic)
+        scan = nn.scan(
+            step,
+            variable_broadcast="params",
+            split_rngs={"params": False, "dropout": True},
+            in_axes=0, out_axes=0, length=self.max_seq_len,
+        )
+        (_, _), preds_T = scan(self, (self._init_carry(context), cur0),
+                               (tgt_T, coins))
+        return preds_T.T    # (T, B) -> (B, T)
+
     def __call__(self, context, target_schedule=None, target_mask=None,
                  teacher_forcing_ratio=0.5, use_target_init=True, *,
                  deterministic=True, tf_rng=None):
         """Teacher-forced decode.  Returns (predictions (B, T),
         length_logits (B, T), init_rank (B, 1))."""
         B = context.shape[0]
+        T = self.max_seq_len
         length_logits = self._length_head(context, deterministic)
         init_rank = self._initial_head(context, deterministic)
 
-        carry = self._init_carry(context)
         if use_target_init and target_schedule is not None:
             cur = target_schedule[:, 0]
         else:
             cur = init_rank[:, 0]
 
-        preds = []
-        for t in range(self.max_seq_len):
-            emb = self.embed_rank(cur[:, None])
-            step_in = jnp.concatenate([emb, context], axis=-1)
-            carry, out = self.lstm(carry, step_in,
-                                   deterministic=deterministic)
-            rank_pred = self._rank_head(out, deterministic)
-            preds.append(rank_pred)
-            if target_schedule is not None and tf_rng is not None:
-                coin = jax.random.uniform(jax.random.fold_in(tf_rng, t))
-                cur = jnp.where(
-                    coin < teacher_forcing_ratio,
-                    target_schedule[:, t],
-                    jax.lax.stop_gradient(rank_pred),
-                )
-            elif target_schedule is not None:
-                cur = target_schedule[:, t]
-            else:
-                cur = jax.lax.stop_gradient(rank_pred)
-        predictions = jnp.stack(preds, axis=1)
+        if target_schedule is not None and tf_rng is not None:
+            mode = "coin"
+            coins = jax.vmap(
+                lambda t: jax.random.uniform(jax.random.fold_in(tf_rng, t))
+            )(jnp.arange(T))
+            tgt_T = target_schedule.T
+        elif target_schedule is not None:
+            mode = "teacher"
+            coins = jnp.zeros((T,), context.dtype)
+            tgt_T = target_schedule.T
+        else:
+            mode = "free"
+            coins = jnp.zeros((T,), context.dtype)
+            tgt_T = jnp.zeros((T, B), context.dtype)
+        predictions = self._decode(context, cur, tgt_T, coins, mode,
+                                   teacher_forcing_ratio, deterministic)
         return predictions, length_logits, init_rank
 
     def generate(self, context, min_rank=1.0):
         """Autoregressive decode: (schedule (B, T), lengths (B,), init)."""
+        B = context.shape[0]
+        T = self.max_seq_len
         length_logits = self._length_head(context, True)
-        lengths = jnp.clip(jnp.argmax(length_logits, axis=-1) + 1, 1,
-                           self.max_seq_len)
+        lengths = jnp.clip(jnp.argmax(length_logits, axis=-1) + 1, 1, T)
         init_rank = self._initial_head(context, True)
-        carry = self._init_carry(context)
-        cur = init_rank[:, 0]
-        preds = []
-        for _ in range(self.max_seq_len):
-            emb = self.embed_rank(cur[:, None])
-            step_in = jnp.concatenate([emb, context], axis=-1)
-            carry, out = self.lstm(carry, step_in, deterministic=True)
-            rank_pred = self._rank_head(out, True)
-            preds.append(rank_pred)
-            cur = rank_pred
-        schedule = jnp.maximum(jnp.stack(preds, axis=1), min_rank)
+        preds = self._decode(
+            context, init_rank[:, 0], jnp.zeros((T, B), context.dtype),
+            jnp.zeros((T,), context.dtype), "free", 0.0, True)
+        schedule = jnp.maximum(preds, min_rank)
         return schedule, lengths, init_rank

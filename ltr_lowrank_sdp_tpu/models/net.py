@@ -72,13 +72,14 @@ class GNNEncoder(nn.Module):
         # and OOM'd the 15.75G chip); recomputing them costs one extra
         # forward per layer and caps live memory at ~one layer's edges
         RematGAT = nn.remat(GATv2Conv, static_argnums=(4,))
-        for _ in range(cfg.num_gnn_layers):
+        for li in range(cfg.num_gnn_layers):
             x_res = x
             x = RematGAT(
                 out_channels=cfg.hidden_dim // cfg.num_heads,
                 heads=cfg.num_heads,
                 edge_dim=cfg.edge_dim,
                 dropout=cfg.dropout,
+                name=f"GATv2Conv_{li}",   # keep pre-remat param paths
             )(x, edge_index, e, deterministic)
             x = nn.LayerNorm()(x)
             x = nn.leaky_relu(x, negative_slope=0.2)

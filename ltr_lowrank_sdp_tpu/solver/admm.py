@@ -28,6 +28,7 @@ Faithfulness notes:
 from __future__ import annotations
 
 import dataclasses
+import os
 import time
 from functools import partial
 from typing import NamedTuple, Optional, Tuple
@@ -616,7 +617,9 @@ class ADMMPhase:
         plateau_chunks = 0
         plateau_prev_pinf = None
         f32 = jnp.dtype(dtype) == jnp.float32
+        trace = os.environ.get("LTRSDP_TRACE_DISPATCH") == "1"
         while True:
+            _td = time.perf_counter()
             carry, ctrl, blob = step(carry, ctrl)
             # ONE host readback per chunk (the speculative certification
             # blob, when chained, rides the same transfer)
@@ -626,6 +629,9 @@ class ADMMPhase:
             else:
                 blob = np.asarray(blob)
                 fblob = None
+            if trace:
+                print(f"[dispatch] admm chunk {time.perf_counter()-_td:.3f}s"
+                      f" it={int(blob[1])}", flush=True)
             code, it_now, last_rho = self.parse_blob(
                 blob, info, record_cb, chunk=CH, with_grams=with_grams)
             last_gap, last_pinf = info.last_gap, info.last_pinf

@@ -44,6 +44,12 @@ from .alm import ALMPhase, ALMOuterInfo, make_alm_carry, make_outer_ctrl
 from .admm import ADMMCarry, ADMMInfo, ADMMPhase
 from .common import ProblemConsts, host_metrics_f64, init_factors
 from .logging import TrajectoryLogger
+
+import os as _os
+
+# per-dispatch wall-time tracing (diagnosing tunnel/dispatch overheads):
+# LTRSDP_TRACE_DISPATCH=1 prints one line per fused-segment round trip
+_TRACE_DISPATCH = _os.environ.get("LTRSDP_TRACE_DISPATCH") == "1"
 from .rank import RankState, make_rank_state, pad_factor_tuple
 
 
@@ -603,6 +609,7 @@ class Solver:
                 int(params.max_alm_iter))
             ha = self._handoff_admm_j(rank_state.ranks, with_grams,
                                       admm_chunk)
+            _td = time.perf_counter()
             carry, ctrl, n_alm, alm_buf = step(carry, ctrl)
             ac, actrl, admm_blob, flags = ha(
                 carry, ctrl, np.asarray(rho_max_cur, jnp.dtype(dtype)))
@@ -611,6 +618,9 @@ class Solver:
             (n_alm_h, alm_rows, admm_blob_h, final_blob_h,
              flags_h) = jax.device_get(
                  (n_alm, alm_buf, admm_blob, final_blob, flags))
+            if _TRACE_DISPATCH:
+                print(f"[dispatch] fused seg {time.perf_counter()-_td:.3f}s"
+                      f" n_alm={int(n_alm_h)}", flush=True)
             code = alm.parse_rows(alm_rows, int(n_alm_h), info, alm_record)
             if info.rho is not None:
                 rho_h = info.rho
