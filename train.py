@@ -325,6 +325,9 @@ def main(argv=None):
             ep_loss += float(loss)
             nb += 1
         val = evaluate(params, val_idx) if val_idx else {"log_mae": ep_loss}
+        # np.float32 scalars are not JSON-serializable — coerce
+        val = {k: (float(v) if isinstance(v, (int, float, np.floating))
+                   else v) for k, v in val.items()}
         history.append({
             "epoch": epoch, "train_loss": ep_loss / max(nb, 1),
             "tf_ratio": tf_ratio, **{f"val_{k}": v for k, v in val.items()},
@@ -339,8 +342,8 @@ def main(argv=None):
                 f.write(serialization.to_bytes(params))
             with open(os.path.join(args.output_dir, "config.json"), "w") as f:
                 json.dump({"model_config": cfg.to_dict(),
-                           "best_val_log_mae": best_val, "epoch": epoch}, f,
-                          indent=2)
+                           "best_val_log_mae": float(best_val),
+                           "epoch": epoch}, f, indent=2)
         elif args.scheduler == "plateau":
             plateau_bad += 1
             if plateau_bad >= 10:
