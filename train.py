@@ -124,6 +124,8 @@ def build_argparser():
     ap.add_argument("--tf-end", type=float, default=0.2)
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
+    ap.add_argument("--init-from", default=None,
+                    help="checkpoint dir to warm-start parameters from")
     return ap
 
 
@@ -184,6 +186,14 @@ def main(argv=None):
         jnp.array(first.edge_attr), jnp.array(first.batch),
         jnp.array(first.global_attr), first.num_graphs,
     )
+    if args.init_from:
+        # warm start / fine-tune: overwrite the freshly-initialised params
+        # with a compatible checkpoint (reference train.py resumes from
+        # checkpoints the same way via load_state_dict)
+        from ltr_lowrank_sdp_tpu.models.checkpoint import load_model as _lm
+
+        _, params, _ = _lm(args.init_from)
+        print(f"warm start from {args.init_from}")
     print(f"model parameters: {count_parameters(params):,}")
 
     steps_per_epoch = max(1, (len(train_idx) + args.batch_size - 1)
