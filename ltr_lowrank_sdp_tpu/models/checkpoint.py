@@ -61,6 +61,12 @@ def load_model(ckpt: str) -> Tuple[RankSchedulePredictor, dict, ModelConfig]:
     )
     with open(msgpack_path, "rb") as f:
         params = serialization.from_bytes(template, f.read())
+    # from_bytes keeps the SAVED dtypes: checkpoints written under x64
+    # restore float64 leaves, which poison downstream jit carries (the
+    # lax.scan decoder requires a dtype-stable carry) — normalize every
+    # leaf to the template's dtype
+    params = jax.tree.map(
+        lambda t, p: jnp.asarray(p, t.dtype), template, params)
     return model, params, cfg
 
 

@@ -53,7 +53,17 @@ class RankState:
             return list(self.ranks)
         if self.schedule is not None:
             if self.schedule_pos + 1 >= len(self.schedule):
-                return list(self.ranks)
+                # schedule exhausted but the solver still stalls: the
+                # predicted trajectory was a PREFIX guide (the released
+                # binary's behavior past the last entry is unobservable —
+                # no source, SURVEY §2.2); resume the default
+                # rankUpdateFactor escalation so an under-predicted
+                # schedule degrades to the heuristic instead of pinning
+                # the solve below the rank it needs
+                return [
+                    min(int(np.ceil(r * factor)), cap)
+                    for r, cap in zip(self.ranks, self.rank_caps)
+                ]
             nxt = self.schedule[self.schedule_pos + 1]
             return [
                 max(r, min(int(nxt), cap))

@@ -304,3 +304,22 @@ def test_min_k_blocks_early_phase1_exit():
     ctrl = make_outer_ctrl(params, 12, 1, 2.0, min_k=10)
     _, ctrl2 = outer_tail(phase, carry, ctrl)
     assert int(ctrl2.code) == CODE_CONVERGED
+
+
+def test_schedule_exhaustion_falls_back_to_heuristic():
+    """An injected schedule is a PREFIX guide: once exhausted, continued
+    stalling resumes the default rankUpdateFactor escalation instead of
+    pinning the rank at the last entry (released-binary behavior past the
+    schedule end is unobservable -- no source; SURVEY 2.2)."""
+    from ltr_lowrank_sdp_tpu.solver.rank import RankState
+
+    st = RankState(ranks=[13], rank_caps=[200], schedule=[13, 28])
+    assert st.escalate(1.5)                  # 13 -> 28 (schedule entry)
+    assert st.ranks == [28]
+    assert st.escalate(1.5)                  # exhausted -> 28*1.5 = 42
+    assert st.ranks == [42]
+    assert st.escalate(1.5)                  # keeps escalating to the cap
+    assert st.ranks == [63]
+    st2 = RankState(ranks=[190], rank_caps=[200], schedule=[190])
+    st2.escalate(1.5)
+    assert st2.ranks == [200]                # cap still binds

@@ -294,8 +294,8 @@ def main(argv=None):
                     targets_out.append([int(round(v)) for v in t[i, :tl]])
                     pred_lens_out.append(pl)
                     target_lens_out.append(tl)
-                    names_out.append(getattr(b, "names", [None])[i]
-                                     if getattr(b, "names", None) else None)
+                    bnames = getattr(b, "names", None) or []
+                    names_out.append(bnames[i] if i < len(bnames) else None)
         out = {
             "loss": tot_loss / max(n_batches, 1),
             "log_mae": log_mae_sum / max(n_valid, 1),
