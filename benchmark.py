@@ -124,6 +124,13 @@ def main(argv=None):
     ap.add_argument("--timeout", type=float, default=DEFAULT_TIMEOUT)
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (leave the TPU free)")
+    ap.add_argument("--merge", action="store_true",
+                    help="update rows in an existing results.json instead "
+                         "of overwriting it")
+    ap.add_argument("--skip", nargs="*", default=None,
+                    help="instance names to skip this run")
+    ap.add_argument("--only", nargs="*", default=None,
+                    help="restrict to these instance names")
     args = ap.parse_args(argv)
 
     if args.cpu:
@@ -133,6 +140,13 @@ def main(argv=None):
 
     os.makedirs(args.output_dir, exist_ok=True)
     results = {}
+    res_path = os.path.join(args.output_dir, "results.json")
+    if args.merge and os.path.exists(res_path):
+        # re-measurement runs update rows in place (e.g. a warm pass over
+        # a subset after a cold cache-filling pass) instead of discarding
+        # instances this invocation does not cover
+        with open(res_path) as f:
+            results = json.load(f)
     rows = []
     seen = set()
     for subtype in args.subtypes:
@@ -143,6 +157,10 @@ def main(argv=None):
                 continue
             seen.add(inst)
             name = os.path.basename(inst).replace(".dat-s", "")
+            if args.skip and name in args.skip:
+                continue
+            if args.only and name not in args.only:
+                continue
             from ltr_lowrank_sdp_tpu.io.sdpa import read_sdpa
 
             hdr = read_sdpa(inst)

@@ -126,6 +126,9 @@ def build_argparser():
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
     ap.add_argument("--init-from", default=None,
                     help="checkpoint dir to warm-start parameters from")
+    ap.add_argument("--name-prefix", nargs="*", default=None,
+                    help="restrict the dataset to instances with these "
+                         "name prefixes (family-specialist fine-tune)")
     return ap
 
 
@@ -158,6 +161,17 @@ def main(argv=None):
         args.root, seed=args.seed, max_schedule_length=args.max_seq_len,
         exclude_names=exclude,
     )
+    if args.name_prefix:
+        # family-specialist fine-tune: restrict every split to instances
+        # whose name starts with one of the given prefixes
+        keep = lambda i: ds.samples[i][0].startswith(
+            tuple(args.name_prefix))  # noqa: E731
+        train_idx = [i for i in train_idx if keep(i)]
+        val_idx = [i for i in val_idx if keep(i)]
+        test_idx = [i for i in test_idx if keep(i)]
+        print(f"name-prefix filter {args.name_prefix}: "
+              f"train {len(train_idx)} / val {len(val_idx)} / "
+              f"test {len(test_idx)}")
     print(f"dataset: {len(ds)} samples "
           f"(train {len(train_idx)} / val {len(val_idx)} / test {len(test_idx)})")
 
