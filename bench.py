@@ -187,9 +187,15 @@ def run_one(name: str) -> dict:
 
     def timed_solves(params):
         sv = Solver(prob, params)
+        t0 = time.time()
         res = sv.solve()           # cold: compiles (persistently cached)
+        cold = time.time() - t0
+        # min-of-2 warm (tunnel stall guard) for normal rows; instances
+        # whose cold solve already ran >120s get ONE warm repeat — a
+        # third 300s solve buys noise rejection the budget can't afford
+        repeats = 1 if cold > 120.0 else 2
         best, best_res = float("inf"), res
-        for _ in range(2):         # min-of-2 warm (tunnel stall guard)
+        for _ in range(repeats):
             t0 = time.time()
             res = sv.solve()
             dt = time.time() - t0
